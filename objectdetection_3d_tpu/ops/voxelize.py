@@ -1,0 +1,180 @@
+"""Static-shape device voxelization.
+
+Replaces the reference's host-side numba loops
+(``points_to_voxel_kernel`` / ``points_to_voxel_reflectance_kernel``,
+reference ops/ops_numba.py:109-308) with a sort + segment formulation that
+runs entirely on device under `jit`:
+
+1. each point gets a flat cell id (or a sentinel when out of range),
+2. a single stable multi-key `lax.sort` orders points by
+   (cell, -reflectance) — reproducing the reference's
+   reflectance-descending priority for the capped per-voxel point slots
+   (ops/ops_numba.py:262) — or by (cell, random key) for the shuffled path
+   (ops/ops_numba.py:190),
+3. run starts mark unique voxels; a cumulative max gives each point its
+   rank inside its voxel; one scatter materializes the padded
+   ``(max_voxels, max_points, C)`` buffer, counts, and integer coords.
+
+Semantics vs the reference: per-voxel point capping is identical
+(top-reflectance points win the <=max_points slots).  Voxel *order* differs
+(ours is cell-id sorted, the reference's is first-appearance) — order is
+irrelevant downstream because coords travel with the features.  When the
+scene exceeds ``max_voxels`` the reference keeps the first-seen voxels while
+we keep the lowest cell ids; both are arbitrary truncation policies.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "voxel_size",
+        "point_cloud_range",
+        "max_points_per_voxel",
+        "max_voxels",
+        "reflectance_sampling",
+    ),
+)
+def voxelize(
+    points,
+    num_points,
+    *,
+    voxel_size,
+    point_cloud_range,
+    max_points_per_voxel,
+    max_voxels,
+    reflectance_sampling=True,
+    shuffle_key=None,
+):
+    """Voxelize one padded point cloud.
+
+    Args:
+        points: (P, C) float array, first ``num_points`` rows valid;
+            columns 0-2 are xyz, column 3 reflectance.
+        num_points: scalar int, number of valid points.
+        voxel_size: static (vx, vy, vz) tuple.
+        point_cloud_range: static (x0, y0, z0, x1, y1, z1) tuple.
+        max_points_per_voxel: static cap M on points kept per voxel.
+        max_voxels: static cap V on voxels kept.
+        reflectance_sampling: if True, high-reflectance points win the
+            capped slots; else insertion order follows ``shuffle_key``.
+        shuffle_key: optional jax PRNG key for the shuffled (non-reflectance)
+            path; defaults to deterministic input order.
+    Returns:
+        dict with
+            voxels: (V, M, C) padded per-voxel points,
+            coords: (V, 3) int32 voxel coords as (z, y, x) — the order the
+                reference hands to the sparse encoder
+                (model/PointPillars.py:351) — -1 for padding voxels,
+            num_points_per_voxel: (V,) int32,
+            num_voxels: scalar int32,
+            voxel_mask: (V,) bool validity.
+    """
+    pcr = jnp.asarray(point_cloud_range, points.dtype)
+    vsz = jnp.asarray(voxel_size, points.dtype)
+    grid = tuple(
+        int(round((point_cloud_range[3 + i] - point_cloud_range[i])
+                  / voxel_size[i]))
+        for i in range(3))
+
+    p = points.shape[0]
+    idx = jnp.arange(p)
+    valid = idx < num_points
+
+    cell3 = jnp.floor((points[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
+    in_range = jnp.all(
+        (cell3 >= 0) & (cell3 < jnp.asarray(grid, jnp.int32)), axis=-1)
+    ok = valid & in_range
+
+    # flat cell id in (x, y, z) raster order like the reference's
+    # coor_to_voxelidx grid (ops/ops_numba.py:151); sentinel sorts last
+    sentinel = jnp.int32(grid[0] * grid[1] * grid[2])
+    cell = (cell3[:, 0] * grid[1] + cell3[:, 1]) * grid[2] + cell3[:, 2]
+    cell = jnp.where(ok, cell, sentinel)
+
+    if reflectance_sampling:
+        # secondary key: reflectance descending
+        secondary = -points[:, 3]
+    elif shuffle_key is not None:
+        secondary = jax.random.uniform(shuffle_key, (p,), points.dtype)
+    else:
+        secondary = jnp.zeros((p,), points.dtype)
+
+    cell_s, _, order = jax.lax.sort(
+        (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
+    pts_s = points[order]
+    cell3_s = cell3[order]
+
+    first = jnp.concatenate(
+        [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)
+    vox_id = jnp.cumsum(first) - 1  # voxel index of each sorted point
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    rank = idx - run_start
+
+    keep = ((cell_s < sentinel)
+            & (rank < max_points_per_voxel)
+            & (vox_id < max_voxels)
+            & (vox_id >= 0))
+
+    scatter_vox = jnp.where(keep, vox_id, max_voxels).astype(jnp.int32)
+    scatter_rank = jnp.where(keep, rank, max_points_per_voxel).astype(
+        jnp.int32)
+
+    voxels = jnp.zeros(
+        (max_voxels, max_points_per_voxel, points.shape[1]), points.dtype
+    ).at[scatter_vox, scatter_rank].set(pts_s, mode="drop")
+
+    counts = jnp.zeros((max_voxels,), jnp.int32).at[scatter_vox].add(
+        keep.astype(jnp.int32), mode="drop")
+
+    head = first & (vox_id < max_voxels)
+    coord_scatter = jnp.where(head, vox_id, max_voxels).astype(jnp.int32)
+    # store (z, y, x) like the reference's flipped coords
+    coords = jnp.full((max_voxels, 3), -1, jnp.int32).at[coord_scatter].set(
+        cell3_s[:, ::-1], mode="drop")
+
+    num_voxels = jnp.sum(head).astype(jnp.int32)
+    voxel_mask = jnp.arange(max_voxels) < num_voxels
+    return {
+        "voxels": voxels,
+        "coords": coords,
+        "num_points_per_voxel": counts,
+        "num_voxels": num_voxels,
+        "voxel_mask": voxel_mask,
+    }
+
+
+class Voxelizer:
+    """Configured voxelization op (reference ops/ops_numba.py:40-107 surface).
+
+    Bundles the static parameters so model code can call
+    ``voxelizer(points, n)`` (optionally vmapped over a batch).
+    """
+
+    def __init__(self, voxel_size, point_cloud_range, max_voxel_points,
+                 max_voxels, reflectance_sampling=True):
+        self.voxel_size = tuple(float(v) for v in voxel_size)
+        self.point_cloud_range = tuple(float(v) for v in point_cloud_range)
+        self.max_voxel_points = int(max_voxel_points)
+        self.max_voxels = int(max_voxels)
+        self.reflectance_sampling = bool(reflectance_sampling)
+        self.grid_size = tuple(
+            int(round((self.point_cloud_range[3 + i]
+                       - self.point_cloud_range[i]) / self.voxel_size[i]))
+            for i in range(3))
+
+    def __call__(self, points, num_points, shuffle_key=None):
+        return voxelize(
+            points,
+            num_points,
+            voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+            max_points_per_voxel=self.max_voxel_points,
+            max_voxels=self.max_voxels,
+            reflectance_sampling=self.reflectance_sampling,
+            shuffle_key=shuffle_key,
+        )
