@@ -1,0 +1,424 @@
+"""PointPillars detector: the framework-level model object.
+
+Owns the flax network, the device voxelizer, the anchor constants, the
+losses and the jitted train / predict functions.  Mirrors the reference's
+``PointPillars(BaseModel)`` surface (model/PointPillars.py:21-302):
+``preprocess`` / ``transform`` / ``loss`` / ``inference_end`` /
+``get_optimizer`` — re-designed so that everything between host
+preprocessing and host unpadding is a single static-shape XLA program.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from objectdetection_3d_tpu.augment import ObjdetAugmentation, global_outlier_check
+from objectdetection_3d_tpu.config import DEFAULT_TPU_CFG
+from objectdetection_3d_tpu.losses import (
+    CrossEntropyLoss,
+    FocalLoss,
+    SmoothL1Loss,
+)
+from objectdetection_3d_tpu.models.anchors import (
+    Anchor3DRangeGenerator,
+    BBoxCoder,
+)
+from objectdetection_3d_tpu.models.assign import assign_targets
+from objectdetection_3d_tpu.models.base import BaseModel
+from objectdetection_3d_tpu.models.network import PointPillarsNet
+from objectdetection_3d_tpu.ops.boxes import limit_period
+from objectdetection_3d_tpu.ops.nms import multiclass_nms
+from objectdetection_3d_tpu.ops.voxelize import Voxelizer
+
+
+class PointPillars(BaseModel):
+    """TPU-native PointPillars with 9-parameter fully-rotated boxes."""
+
+    def __init__(self,
+                 name="PointPillars",
+                 device="tpu",
+                 classes=(),
+                 input_features=(),
+                 point_cloud_range=(),
+                 preprocess=None,
+                 augment=None,
+                 voxelize=None,
+                 voxel_encoder=None,
+                 vertical_encoder=None,
+                 backbone=None,
+                 neck=None,
+                 head=None,
+                 loss=None,
+                 tpu=None,
+                 **kwargs):
+        super().__init__(name=name,
+                         point_cloud_range=list(point_cloud_range),
+                         device=device,
+                         **kwargs)
+
+        self.point_cloud_range = [float(v) for v in point_cloud_range]
+        self.classes = list(classes)
+        self.name2lbl = {n: i for i, n in enumerate(self.classes)}
+        self.lbl2name = {i: n for i, n in enumerate(self.classes)}
+        self.classes_ids = list(range(len(self.classes)))
+        self.num_classes = len(self.classes)
+        self.input_features = list(input_features) or [0, 1, 2, 3]
+        self.device = device
+
+        self.tpu_cfg = dict(DEFAULT_TPU_CFG)
+        self.tpu_cfg.update(dict(tpu or {}))
+        self.compute_dtype = (
+            jnp.bfloat16
+            if str(self.tpu_cfg["compute_dtype"]) in ("bfloat16", "bf16")
+            else jnp.float32)
+
+        voxelize = dict(voxelize or {})
+        head = dict(head or {})
+        loss = dict(loss or {})
+        self.head_cfg = head
+        self.box_params_num = int(head.get("box_params_num", 9))
+        self.nms_dim = int(head.get("nms_dim", 3))
+
+        pcr = np.asarray(self.point_cloud_range, np.float64)
+        vsize = np.asarray(voxelize["voxel_size"], np.float64)
+        gx, gy, gz = (np.round((pcr[3:] - pcr[:3]) / vsize)).astype(int)
+        self.grid_size = (int(gx), int(gy), int(gz))
+        # dense grid layout (D=z, H=y, W=x)
+        self.grid_dhw = (int(gz), int(gy), int(gx))
+
+        max_voxels = min(int(voxelize.get("max_voxels", 10 ** 9)),
+                         int(self.tpu_cfg["max_voxels_static"]))
+        # reflectance_sampling is hardcoded True in the reference voxel
+        # layer (model/PointPillars.py:348)
+        self.voxel_layer = Voxelizer(
+            voxel_size=voxelize["voxel_size"],
+            point_cloud_range=self.point_cloud_range,
+            max_voxel_points=int(voxelize["max_voxel_points"]),
+            max_voxels=max_voxels,
+            reflectance_sampling=True,
+        )
+
+        vertical = dict(vertical_encoder or {})
+        backbone = dict(backbone or {})
+        ve_cfg = dict(voxel_encoder or {})
+
+        self.anchor_generator = Anchor3DRangeGenerator(
+            ranges=head["ranges"], sizes=head["sizes"],
+            rotations=head["rotations"],
+            box_params_num=self.box_params_num)
+        self.num_anchors = self.anchor_generator.num_base_anchors
+        d, h, w = self.grid_dhw
+        self.anchors = jnp.asarray(
+            self.anchor_generator.flat_anchors((h, w)))
+        self.bbox_coder = BBoxCoder()
+
+        self.net = PointPillarsNet(
+            grid=self.grid_dhw,
+            pfn_channels=tuple(ve_cfg["feat_channels"]),
+            voxel_size=tuple(float(v) for v in ve_cfg["voxel_size"]),
+            point_cloud_range=tuple(self.point_cloud_range),
+            middle_channels=tuple(vertical["out_channels"]),
+            middle_in_channels=int(vertical["in_channels"]),
+            rpn_channels=tuple(backbone["out_channels"]),
+            rpn_layer_nums=tuple(backbone["layer_nums"]),
+            num_classes=self.num_classes,
+            num_anchors=self.num_anchors,
+            box_params_num=self.box_params_num,
+            dtype=self.compute_dtype,
+        )
+
+        self.augmentor = ObjdetAugmentation(dict(augment or {}),
+                                            seed=self.rng)
+
+        self.loss_cls = FocalLoss(**dict(loss.get("focal", {})))
+        self.loss_bbox = SmoothL1Loss(**dict(loss.get("smooth_l1", {})))
+        self.loss_dir = CrossEntropyLoss(**dict(loss.get("cross_entropy",
+                                                         {})))
+        iou_thr = head.get("iou_thr", [[0.08, 0.2]])
+        if len(iou_thr) != max(self.num_classes, 1):
+            assert len(iou_thr) == 1
+            iou_thr = iou_thr * max(self.num_classes, 1)
+        self.iou_thr = iou_thr
+
+        self._jit_cache = {}
+
+    # ------------------------------------------------------------------
+    # parameters
+    # ------------------------------------------------------------------
+    def init_variables(self, key):
+        """Initialize network variables.
+
+        Conv/Dense parameters are independent of the spatial grid, so init
+        runs on a thin (D, 4, 4) twin of the network to avoid materializing
+        the full 400x400 grid on the host.
+        """
+        d, _, _ = self.grid_dhw
+        small = self.net.clone(grid=(d, 4, 4))
+        m = self.voxel_layer.max_voxel_points
+        c = len(self.input_features)
+        voxels = jnp.zeros((1, 8, m, c), jnp.float32)
+        num_points = jnp.ones((1, 8), jnp.int32)
+        coords = jnp.zeros((1, 8, 3), jnp.int32)
+        mask = jnp.ones((1, 8), bool)
+        return small.init(key, voxels, num_points, coords, mask, train=False)
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+    def voxelize_batch(self, points, num_points):
+        """vmapped device voxelization of a padded point batch."""
+        return jax.vmap(self.voxel_layer)(points, num_points)
+
+    def apply(self, variables, batch, train=False):
+        """Full forward: voxelize -> network.
+
+        Returns ((cls, reg, dirs), new_batch_stats_or_None).
+        """
+        vox = self.voxelize_batch(batch["points"], batch["num_points"])
+        if train:
+            outs, mut = self.net.apply(
+                variables, vox["voxels"],
+                vox["num_points_per_voxel"], vox["coords"],
+                vox["voxel_mask"], train=True, mutable=["batch_stats"])
+            return outs, mut["batch_stats"]
+        outs = self.net.apply(
+            variables, vox["voxels"], vox["num_points_per_voxel"],
+            vox["coords"], vox["voxel_mask"], train=False)
+        return outs, None
+
+    # ------------------------------------------------------------------
+    # loss
+    # ------------------------------------------------------------------
+    def loss(self, results, inputs):
+        """Training losses (reference model/PointPillars.py:147-226).
+
+        Args:
+            results: (cls, reg, dirs) head outputs.
+            inputs: batch dict with 'bboxes' (B,G,9), 'labels' (B,G),
+                'gt_mask' (B,G).
+        Returns:
+            dict of scalar losses.
+        """
+        cls, reg, dirs = results
+        b = cls.shape[0]
+        c = max(self.num_classes, 1)
+
+        assign = jax.vmap(
+            lambda gt, lbl, msk: assign_targets(
+                self.anchors, gt, lbl, msk,
+                pos_thr=self.iou_thr[0][1], neg_thr=self.iou_thr[0][0],
+                candidates_per_gt=int(
+                    self.tpu_cfg["assign_candidates_per_gt"]),
+                num_classes=self.num_classes)
+        )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
+
+        pos = assign["pos_mask"].reshape(-1)
+        neg = assign["neg_mask"].reshape(-1)
+        num_pos = jnp.sum(assign["num_pos"])
+        # avg_factor = total positive count; 1 when empty reproduces the
+        # reference's unreduced-sum fallback (model/PointPillars.py:213-218)
+        avg = jnp.maximum(num_pos, 1).astype(jnp.float32)
+
+        cls_flat = cls.reshape(-1, c)
+        target_labels = assign["target_labels"].reshape(-1)
+        wmask = (pos | neg).astype(jnp.float32)[:, None]
+        loss_cls = self.loss_cls(cls_flat, target_labels, weight=wmask,
+                                 avg_factor=avg)
+
+        reg_flat = reg.reshape(-1, self.box_params_num)
+        tgt = assign["target_deltas"].reshape(-1, self.box_params_num)
+        # sin-difference rotation encoding
+        # (reference model/PointPillars.py:206-210)
+        pred_r = reg_flat[:, -3:]
+        tgt_r = tgt[:, -3:]
+        pred_sin = jnp.concatenate(
+            [reg_flat[:, :-3], jnp.sin(pred_r) * jnp.cos(tgt_r)], axis=-1)
+        tgt_sin = jnp.concatenate(
+            [tgt[:, :-3], jnp.cos(pred_r) * jnp.sin(tgt_r)], axis=-1)
+        posw = pos.astype(jnp.float32)[:, None]
+        loss_bbox = self.loss_bbox(pred_sin, tgt_sin, weight=posw,
+                                   avg_factor=avg)
+
+        dirs_flat = dirs.reshape(-1, 3, 2)
+        dir_tgt = assign["dir_targets"].reshape(-1, 3)
+        posw1 = pos.astype(jnp.float32)
+        loss_dir = {}
+        for i, ax in enumerate("xyz"):
+            loss_dir[ax] = self.loss_dir(
+                dirs_flat[:, i], dir_tgt[:, i], weight=posw1,
+                avg_factor=avg)
+
+        return {
+            "loss_cls": loss_cls,
+            "loss_bbox": loss_bbox,
+            "loss_dir_x": loss_dir["x"],
+            "loss_dir_y": loss_dir["y"],
+            "loss_dir_z": loss_dir["z"],
+        }
+
+    # ------------------------------------------------------------------
+    # train step
+    # ------------------------------------------------------------------
+    def get_optimizer(self, cfg, grad_clip_value=None):
+        """AdamW matching the reference (model/PointPillars.py:142-145 +
+        pipeline value-clipping, pipeline/pipeline.py:496-498)."""
+        cfg = dict(cfg or {})
+        betas = cfg.get("betas", (0.9, 0.999))
+        tx = optax.adamw(
+            learning_rate=cfg.get("lr", 1e-3),
+            b1=float(betas[0]), b2=float(betas[1]),
+            eps=1e-8,
+            weight_decay=cfg.get("weight_decay", 1e-2))
+        if grad_clip_value is not None and grad_clip_value > 0:
+            tx = optax.chain(optax.clip(float(grad_clip_value)), tx)
+        return tx
+
+    def make_train_step(self, tx, donate=True):
+        """Build the jitted training step.
+
+        state = {'params', 'batch_stats', 'opt_state'}.
+        """
+
+        def step(state, batch):
+            def loss_closure(params):
+                variables = {"params": params,
+                             "batch_stats": state["batch_stats"]}
+                outs, new_bs = self.apply(variables, batch, train=True)
+                losses = self.loss(outs, batch)
+                total = sum(losses.values())
+                return total, (losses, new_bs)
+
+            grads, (losses, new_bs) = jax.grad(
+                loss_closure, has_aux=True)(state["params"])
+            updates, new_opt = tx.update(grads, state["opt_state"],
+                                         state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": new_params, "batch_stats": new_bs,
+                         "opt_state": new_opt}
+            return new_state, losses
+
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def _predict_single(self, cls, reg, dirs):
+        """Decode + NMS for one item (reference get_bboxes_single,
+        model/PointPillars.py:1025-1094), static shapes throughout."""
+        c = max(self.num_classes, 1)
+        n_a = self.anchors.shape[0]
+        nms_pre = min(int(self.head_cfg.get("nms_pre", 100)), n_a)
+        score_thr = float(self.head_cfg.get("score_thr", 0.1))
+        nms_thresh = float(self.head_cfg.get("nms_thresh", 0.7))
+        dir_offset = float(self.head_cfg.get("dir_offset", 0.0))
+        max_det = min(int(self.tpu_cfg["max_detections"]), nms_pre * c)
+
+        scores = jax.nn.sigmoid(cls.reshape(-1, c))
+        dirs_flat = dirs.reshape(-1, 3, 2)
+        dir_bins = jnp.argmax(dirs_flat, axis=-1)  # (N_a, 3)
+
+        top_scores, top_idx = jax.lax.top_k(
+            jnp.max(scores, axis=-1), nms_pre)
+        anchors_sel = self.anchors[top_idx]
+        deltas_sel = reg.reshape(-1, self.box_params_num)[top_idx]
+        boxes = self.bbox_coder.decode(anchors_sel, deltas_sel)
+        scores_sel = scores[top_idx]
+        bins_sel = dir_bins[top_idx]
+
+        keep = multiclass_nms(boxes, scores_sel, score_thr, nms_thresh,
+                              nms_dim=self.nms_dim)
+
+        # direction recovery per rotation axis
+        # (reference model/PointPillars.py:1085-1092)
+        rot = boxes[:, -3:]
+        rot = (limit_period(rot - dir_offset, 1.0, jnp.pi) + dir_offset
+               + jnp.pi * bins_sel.astype(boxes.dtype))
+        boxes = jnp.concatenate([boxes[:, :-3], rot], axis=-1)
+
+        flat_scores = jnp.where(keep, scores_sel, -1.0).reshape(-1)
+        sel_scores, flat_idx = jax.lax.top_k(flat_scores, max_det)
+        box_idx = flat_idx // c
+        labels = flat_idx % c
+        return {
+            "bbox": boxes[box_idx],
+            "label": labels.astype(jnp.int32),
+            "score": sel_scores,
+            "valid": sel_scores > 0,
+        }
+
+    def predict(self, variables, batch):
+        """Batched jit-friendly inference: forward + decode + NMS."""
+        outs, _ = self.apply(variables, batch, train=False)
+        cls, reg, dirs = outs
+        return jax.vmap(self._predict_single)(cls, reg, dirs)
+
+    def make_predict_fn(self):
+        return jax.jit(lambda variables, batch: self.predict(variables,
+                                                             batch))
+
+    def inference_end(self, results):
+        """Unpad device predictions into per-cloud lists of detection dicts
+        (reference model/PointPillars.py:286-302 output structure)."""
+        bbox = np.asarray(results["bbox"])
+        label = np.asarray(results["label"])
+        score = np.asarray(results["score"])
+        valid = np.asarray(results["valid"])
+        out = []
+        for i in range(bbox.shape[0]):
+            item = []
+            for j in range(bbox.shape[1]):
+                if not valid[i, j]:
+                    continue
+                item.append({
+                    "bbox": bbox[i, j],
+                    "label": int(label[i, j]),
+                    "score": float(score[i, j]),
+                })
+            out.append(item)
+        return out
+
+    # ------------------------------------------------------------------
+    # host-side preprocessing
+    # ------------------------------------------------------------------
+    def preprocess(self, data, attr, rng=None):
+        """Per-cloud host preprocessing (reference
+        model/PointPillars.py:228-278): 5-sigma outlier rejection, range
+        cropping of points and of box centers (xy), input-feature selection,
+        then train-time augmentation."""
+        rng = rng if rng is not None else self.rng
+
+        points = global_outlier_check(np.asarray(data["point"]))
+        points = np.array(points, dtype=np.float32)
+        bboxes = np.array(data["bboxes"], dtype=np.float32).reshape(-1, 9)
+        min_val = np.array(self.point_cloud_range[:3])
+        max_val = np.array(self.point_cloud_range[3:])
+
+        points = points[np.where(
+            np.all(np.logical_and(points[:, :3] >= min_val,
+                                  points[:, :3] < max_val), axis=-1))]
+        bboxes = bboxes[np.where(
+            np.all(np.logical_and(bboxes[:, :2] >= min_val[:2],
+                                  bboxes[:, :2] < max_val[:2]), axis=-1))]
+
+        if points.shape[0] == 0:
+            print("There are no points in defined range. Range is defined "
+                  "wrongly or this particular point cloud is affected with "
+                  "outliers: {}".format(attr.get("name")))
+
+        points = points[:, self.input_features]
+        data = dict(data)
+        data["point"] = points
+        data["bboxes"] = bboxes
+
+        if attr.get("split") not in ("test", "testing", "val", "validation"):
+            data = self.augmentor.augment(data, attr, seed=rng)
+
+        return {"point": data["point"], "labels": data["labels"],
+                "bboxes": data["bboxes"]}
+
+    def transform(self, data, attr):
+        """Identity hook (reference model/PointPillars.py:280-284)."""
+        return data

@@ -1,0 +1,101 @@
+"""Top-level flax network: voxel features -> pseudo-image -> head.
+
+The reference's ``extract_feats`` chain (model/PointPillars.py:94-104):
+PillarFeatureNet -> SparseMiddleExtractor -> SubmanifoldSparseRPN ->
+Anchor3DHead, with the dense backbone/neck constructed but bypassed
+(model/PointPillars.py:101-103).  Here the whole chain is one jitted module
+over a static (B, D, H, W) grid.
+"""
+
+from typing import Sequence, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from objectdetection_3d_tpu.models.layers import (
+    Anchor3DHead,
+    PillarFeatureNet,
+    SparseMiddleExtractor,
+    SubmanifoldSparseRPN,
+)
+
+
+class PointPillarsNet(nn.Module):
+    """End-to-end PointPillars network over padded voxel batches."""
+
+    grid: Tuple[int, int, int]  # (D, H, W) = (z, y, x) cells
+    pfn_channels: Sequence[int]
+    voxel_size: Sequence[float]
+    point_cloud_range: Sequence[float]
+    middle_channels: Sequence[int]
+    middle_in_channels: int
+    rpn_channels: Sequence[int]
+    rpn_layer_nums: Sequence[int]
+    num_classes: int
+    num_anchors: int
+    box_params_num: int = 9
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
+        """
+        Args:
+            voxels: (B, V, M, C) padded voxel point buffers.
+            num_points: (B, V) int points per voxel.
+            coords: (B, V, 3) int voxel coords (z, y, x), -1 padding.
+            voxel_mask: (B, V) bool voxel validity.
+        Returns:
+            (cls, reg, dirs): (B, H, W, A*num_classes / A*9 / A*6) float32.
+        """
+        b, v, m, c = voxels.shape
+        d, h, w = self.grid
+
+        fv = voxels.reshape(b * v, m, c)
+        fn = num_points.reshape(b * v)
+        fc = coords.reshape(b * v, 3)
+        fm = voxel_mask.reshape(b * v)
+
+        feats = PillarFeatureNet(
+            feat_channels=self.pfn_channels,
+            voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+            name="voxel_encoder",
+        )(fv, fn, fc, fm, train)
+
+        # scatter voxel features onto the dense (z, y, x) grid; padding
+        # voxels are routed out of bounds and dropped
+        cf = feats.shape[-1]
+        bi = jnp.repeat(jnp.arange(b), v)
+        zi = jnp.where(fm, fc[:, 0], d)
+        yi = jnp.where(fm, fc[:, 1], h)
+        xi = jnp.where(fm, fc[:, 2], w)
+        grid = jnp.zeros((b, d, h, w, cf), feats.dtype).at[
+            bi, zi, yi, xi].set(feats, mode="drop")
+        mask = jnp.zeros((b, d, h, w, 1), feats.dtype).at[
+            bi, zi, yi, xi].set(1.0, mode="drop")
+
+        pseudo, _ = SparseMiddleExtractor(
+            in_channels=self.middle_in_channels,
+            out_channels=self.middle_channels,
+            dtype=self.dtype,
+            name="pseudoimage_generator",
+        )(grid, mask, train)
+
+        # the reference re-derives the 2D active set from nonzero
+        # pseudo-pixels (model/PointPillars.py:769-784)
+        rpn_mask = jnp.any(pseudo != 0, axis=-1, keepdims=True)
+
+        x = SubmanifoldSparseRPN(
+            out_channels=self.rpn_channels,
+            layer_nums=self.rpn_layer_nums,
+            dtype=self.dtype,
+            name="sparse_rpn",
+        )(pseudo, rpn_mask, train)
+
+        return Anchor3DHead(
+            num_classes=self.num_classes,
+            num_anchors=self.num_anchors,
+            box_params_num=self.box_params_num,
+            dtype=self.dtype,
+            name="bbox_head",
+        )(x)

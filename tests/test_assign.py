@@ -1,0 +1,114 @@
+"""Target assignment vs a brute-force oracle of the reference rules."""
+
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+
+from objectdetection_3d_tpu.models.anchors import (  # noqa: E402
+    Anchor3DRangeGenerator,
+    BBoxCoder,
+)
+from objectdetection_3d_tpu.models.assign import assign_targets  # noqa: E402
+from objectdetection_3d_tpu.ops.iou3d import iou3d  # noqa: E402
+
+
+def oracle_assign(iou, pos_thr, neg_thr):
+    """Reference matching rules on a dense (G, N) IoU matrix
+    (model/PointPillars.py:964-978)."""
+    max_overlap = iou.max(axis=0) if iou.shape[0] else np.zeros(iou.shape[1])
+    argmax = iou.argmax(axis=0) if iou.shape[0] else np.zeros(
+        iou.shape[1], int)
+    pos = max_overlap >= pos_thr
+    neg = max_overlap < neg_thr
+    for g in range(iou.shape[0]):
+        gt_max = iou[g].max()
+        if gt_max >= neg_thr:
+            pos[iou[g] == gt_max] = True
+    neg = neg & ~pos
+    return pos, neg, argmax, max_overlap
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_matches_bruteforce(seed):
+    rng = np.random.default_rng(seed)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 8.0, 8.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((16, 16)))
+
+    g_valid = 3
+    gt = np.zeros((4, 9), np.float32)
+    gt[:g_valid, :2] = rng.uniform(1, 7, (g_valid, 2))
+    gt[:g_valid, 2] = 0.0
+    gt[:g_valid, 3:6] = rng.uniform(0.6, 1.2, (g_valid, 3)) * [1, 1, 2.5]
+    gt[:g_valid, 8] = rng.uniform(-np.pi, np.pi, g_valid)
+    gt_mask = np.arange(4) < g_valid
+    labels = np.zeros(4, np.int32)
+
+    out = assign_targets(anchors, jnp.asarray(gt), jnp.asarray(labels),
+                         jnp.asarray(gt_mask), pos_thr=0.2, neg_thr=0.08,
+                         candidates_per_gt=128, gt_chunk=4)
+
+    dense = np.asarray(iou3d(jnp.asarray(gt[:g_valid]), anchors,
+                             row_chunk=4))
+    pos, neg, argmax, max_overlap = oracle_assign(dense, 0.2, 0.08)
+
+    np.testing.assert_array_equal(np.asarray(out["pos_mask"]), pos)
+    np.testing.assert_array_equal(np.asarray(out["neg_mask"]), neg)
+    np.testing.assert_allclose(np.asarray(out["max_overlap"]),
+                               max_overlap, atol=1e-5)
+    # best gt must agree wherever positive
+    np.testing.assert_array_equal(
+        np.asarray(out["best_gt"])[pos], argmax[pos])
+    assert int(out["num_pos"]) == int(pos.sum())
+
+
+def test_targets_and_dirs():
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 8.0, 8.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5]],
+        rotations=[[0.0, 0.0, 0.0]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((8, 8)))
+    gt = np.zeros((2, 9), np.float32)
+    # centered exactly on an anchor (endpoint-inclusive 8-point grid)
+    cx = 8.0 * 3 / 7
+    gt[0] = [cx, cx, 0.0, 0.8, 0.8, 2.5, 0.0, 0.0, 4.0]  # rz=4 rad
+    gt_mask = np.array([True, False])
+    labels = np.zeros(2, np.int32)
+
+    out = assign_targets(anchors, jnp.asarray(gt), jnp.asarray(labels),
+                         jnp.asarray(gt_mask), pos_thr=0.2, neg_thr=0.08,
+                         candidates_per_gt=16, gt_chunk=2)
+    pos = np.asarray(out["pos_mask"])
+    assert pos.sum() >= 1
+    # encoded targets match the coder on positive anchors
+    deltas = np.asarray(out["target_deltas"])[pos]
+    want = np.asarray(BBoxCoder.encode(
+        anchors[np.where(pos)[0]], jnp.asarray(np.tile(gt[0], (pos.sum(),
+                                                              1)))))
+    np.testing.assert_allclose(deltas, want, atol=1e-5)
+    # rz=4 -> wrapped to [0, 2pi) = 4.0, bin = floor(4/pi) % 2 = 1
+    dirs = np.asarray(out["dir_targets"])[pos]
+    np.testing.assert_array_equal(dirs[:, 2], 1)
+    np.testing.assert_array_equal(dirs[:, 0], 0)
+
+
+def test_no_valid_gt():
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 8.0, 8.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5]],
+        rotations=[[0.0, 0.0, 0.0]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((8, 8)))
+    gt = np.zeros((2, 9), np.float32)
+    gt_mask = np.zeros(2, bool)
+    labels = np.zeros(2, np.int32)
+    out = assign_targets(anchors, jnp.asarray(gt), jnp.asarray(labels),
+                         jnp.asarray(gt_mask), pos_thr=0.2, neg_thr=0.08,
+                         candidates_per_gt=16, gt_chunk=2)
+    assert int(out["num_pos"]) == 0
+    assert np.all(np.asarray(out["neg_mask"]))

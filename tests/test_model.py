@@ -1,0 +1,105 @@
+"""End-to-end tiny-model tests: forward shapes, loss, train step, predict."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from objectdetection_3d_tpu.models import PointPillars  # noqa: E402
+from tiny import tiny_batch, tiny_model_cfg  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = PointPillars(**tiny_model_cfg())
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    return model, variables
+
+
+def to_device(batch):
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+def test_forward_shapes(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    (cls, reg, dirs), _ = model.apply(variables, batch, train=False)
+    h, w = 16, 16
+    a = model.num_anchors
+    assert a == 4
+    assert cls.shape == (2, h, w, a * 1)
+    assert reg.shape == (2, h, w, a * 9)
+    assert dirs.shape == (2, h, w, a * 6)
+    assert np.all(np.isfinite(np.asarray(cls)))
+    assert np.all(np.isfinite(np.asarray(reg)))
+
+
+def test_loss_finite_and_positive(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    outs, _ = model.apply(variables, batch, train=False)
+    losses = model.loss(outs, batch)
+    assert set(losses) == {"loss_cls", "loss_bbox", "loss_dir_x",
+                           "loss_dir_y", "loss_dir_z"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    assert float(losses["loss_cls"]) > 0
+
+
+def test_train_step_decreases_loss(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    tx = model.get_optimizer(dict(lr=3e-3, betas=[0.95, 0.99],
+                                  weight_decay=0.01), grad_clip_value=2.0)
+    step = model.make_train_step(tx, donate=False)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": tx.init(variables["params"])}
+    state, first = step(state, batch)
+    total_first = sum(float(v) for v in first.values())
+    for _ in range(10):
+        state, losses = step(state, batch)
+    total_last = sum(float(v) for v in losses.values())
+    assert np.isfinite(total_last)
+    assert total_last < total_first
+
+
+def test_empty_cloud_forward(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=1))
+    batch["num_points"] = jnp.zeros((1,), jnp.int32)
+    (cls, reg, dirs), _ = model.apply(variables, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(cls)))
+
+
+def test_predict_shapes_and_validity(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    predict = model.make_predict_fn()
+    out = predict(variables, batch)
+    max_det = 32
+    assert out["bbox"].shape == (2, max_det, 9)
+    assert out["label"].shape == (2, max_det)
+    assert out["score"].shape == (2, max_det)
+    valid = np.asarray(out["valid"])
+    scores = np.asarray(out["score"])
+    assert np.all(scores[valid] > 0.3)  # score_thr respected
+    # inference_end unpads into detection dicts
+    dets = model.inference_end(out)
+    assert len(dets) == 2
+    for item, v in zip(dets, valid):
+        assert len(item) == int(v.sum())
+        for d in item:
+            assert set(d) == {"bbox", "label", "score"}
+
+
+def test_batch_stats_updated(model_and_vars):
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    _, new_bs = model.apply(variables, batch, train=True)
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(new_bs)
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(old, new))
+    assert changed
