@@ -359,6 +359,18 @@ class PointPillars(BaseModel):
         return jax.jit(lambda variables, batch: self.predict(variables,
                                                              batch))
 
+    def make_eval_fn(self):
+        """Jitted single-forward eval: losses + decoded detections."""
+
+        def eval_step(variables, batch):
+            outs, _ = self.apply(variables, batch, train=False)
+            losses = self.loss(outs, batch)
+            cls, reg, dirs = outs
+            preds = jax.vmap(self._predict_single)(cls, reg, dirs)
+            return losses, preds
+
+        return jax.jit(eval_step)
+
     def inference_end(self, results):
         """Unpad device predictions into per-cloud lists of detection dicts
         (reference model/PointPillars.py:286-302 output structure)."""

@@ -1,0 +1,455 @@
+"""Object-detection pipeline: training / validation / testing / inference.
+
+Mirrors the reference ObjectDetection pipeline (pipeline/pipeline.py:24-535)
+and its artifact set — ``process_config.json``, per-run ``log_train_*.txt`` /
+``log_test_*.txt``, ``training_record.csv``, ``metrics.npy``,
+``test_protocol.yaml``, periodic ``ckpt_*`` plus best-F1 ``ckpt_best`` —
+while the compute path is a jitted train step / eval step on static-shape
+batches with host-thread prefetch.
+"""
+
+import json
+import logging
+import os
+import random
+import re
+from datetime import datetime
+from os.path import join
+
+import numpy as np
+import yaml
+import jax
+import jax.numpy as jnp
+
+try:
+    from tqdm import tqdm
+except ImportError:  # pragma: no cover
+    def tqdm(x, **kwargs):
+        return x
+
+import pandas as pd
+
+from objectdetection_3d_tpu.dataset.loader import (
+    DataLoader,
+    PreprocessedDataset,
+    StaticBatcher,
+)
+from objectdetection_3d_tpu.metrics import MetricEvaluator
+from objectdetection_3d_tpu.pipeline import checkpoint as ckpt_io
+from objectdetection_3d_tpu.pipeline.base_pipeline import BasePipeline
+from objectdetection_3d_tpu.pipeline.utils import latest_ckpt
+from objectdetection_3d_tpu.utils import make_dir
+
+log = logging.getLogger(__name__)
+
+
+class ObjectDetection(BasePipeline):
+    """Pipeline for object detection."""
+
+    def __init__(self, model, dataset, global_cfg, **kwargs):
+        super().__init__(model=model, dataset=dataset,
+                         global_cfg=global_cfg, **kwargs)
+        self.ME = MetricEvaluator(eval_dim=self.cfg.get("eval_dim", 3))
+
+        tcfg = model.tpu_cfg
+        self.batcher = StaticBatcher(
+            max_points=tcfg["max_points_static"],
+            max_gt=tcfg["max_gt_static"],
+            num_features=len(model.input_features),
+            box_params_num=model.box_params_num,
+            seed=kwargs.get("seed", 0))
+
+        self.state = None          # {'params','batch_stats','opt_state'}
+        self.optimizer = None
+        self._train_step = None
+        self._eval_fn = None
+        self._predict_fn = None
+
+    # ------------------------------------------------------------------
+    # checkpointing (reference pipeline/pipeline.py:36-96)
+    # ------------------------------------------------------------------
+    def save_ckpt(self, epoch, save_best=False):
+        ckpt_dir = join(self.cfg.log_dir, "checkpoint/")
+        make_dir(ckpt_dir)
+        path = join(ckpt_dir, "ckpt_best.pkl" if save_best
+                    else f"ckpt_{epoch:05d}.pkl")
+        ckpt_io.save_ckpt(path, epoch, self.state)
+        log.info(f"Epoch {epoch:3d}: save ckpt to {path:s}")
+
+    def load_ckpt(self):
+        ckpt_dir = join(self.cfg.log_dir, "checkpoint/")
+        epoch = 0
+
+        if not self.cfg.get("inference_mode"):
+            if self.cfg.get("is_resume"):
+                last_ckpt_path = latest_ckpt(ckpt_dir)
+                if last_ckpt_path:
+                    epoch = int(re.findall(r"\d+", last_ckpt_path)[-1]) + 1
+                    ckpt_path = last_ckpt_path
+                    log.info("Model restored from the latest checkpoint: "
+                             "{}".format(epoch))
+                else:
+                    log.info("Latest checkpoint was not found")
+                    log.info("Initializing from scratch.")
+                    return epoch, None
+            else:
+                log.info("Initializing from scratch.")
+                return epoch, None
+        else:
+            ckpt_path = join(ckpt_dir, "ckpt_best.pkl")
+            if not os.path.exists(ckpt_path):
+                raise ValueError(
+                    "There is no pretrained model for inference. Best output "
+                    "of training should be found as {}".format(ckpt_path))
+
+        log.info(f"Loading checkpoint {ckpt_path}")
+        payload = ckpt_io.load_ckpt(ckpt_path)
+        if self.state is None:
+            self._init_state()
+        self.state["params"] = payload["params"]
+        self.state["batch_stats"] = payload["batch_stats"]
+        if "opt_state" in payload and self.optimizer is not None and \
+                payload["opt_state"] is not None:
+            log.info("Loading checkpoint optimizer state")
+            try:
+                flat_new = jax.tree_util.tree_leaves(payload["opt_state"])
+                treedef = jax.tree_util.tree_structure(
+                    self.state["opt_state"])
+                self.state["opt_state"] = jax.tree_util.tree_unflatten(
+                    treedef, flat_new)
+            except Exception as e:  # structure mismatch: keep fresh state
+                log.warning("Could not restore optimizer state: %s", e)
+        return epoch, ckpt_path
+
+    # ------------------------------------------------------------------
+    # state / jit management
+    # ------------------------------------------------------------------
+    def _init_state(self):
+        variables = self.model.init_variables(
+            jax.random.PRNGKey(int(self.rng.integers(np.iinfo(np.int32).max))))
+        opt_state = None
+        if self.optimizer is not None:
+            opt_state = self.optimizer.init(variables["params"])
+        self.state = {"params": variables["params"],
+                      "batch_stats": variables["batch_stats"],
+                      "opt_state": opt_state}
+
+    def _variables(self):
+        return {"params": self.state["params"],
+                "batch_stats": self.state["batch_stats"]}
+
+    def _device_arrays(self, batch):
+        return {k: jnp.asarray(v) for k, v in batch.arrays.items()}
+
+    def _ensure_eval_fn(self):
+        if self._eval_fn is None:
+            self._eval_fn = self.model.make_eval_fn()
+        return self._eval_fn
+
+    def _ensure_predict_fn(self):
+        if self._predict_fn is None:
+            self._predict_fn = self.model.make_predict_fn()
+        return self._predict_fn
+
+    # ------------------------------------------------------------------
+    # metric plumbing (reference pipeline/pipeline.py:98-129)
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _target_for_metric(boxes, labels):
+        return {"bbox": np.asarray(boxes, np.float32).reshape(-1, 9),
+                "label": np.asarray(labels).reshape(-1),
+                "score": np.ones((len(boxes),), np.float32)}
+
+    @staticmethod
+    def _pred_for_metric(preds, i):
+        valid = np.asarray(preds["valid"][i])
+        return {"bbox": np.asarray(preds["bbox"][i])[valid],
+                "label": np.asarray(preds["label"][i])[valid],
+                "score": np.asarray(preds["score"][i])[valid]}
+
+    # ------------------------------------------------------------------
+    # inference entry points
+    # ------------------------------------------------------------------
+    def run_inference(self, data):
+        """Run inference on one preprocessed data item
+        (reference pipeline/pipeline.py:132-158)."""
+        if self.state is None:
+            self._init_state()
+        self.load_ckpt()
+        if isinstance(data, dict) and "data" in data:
+            batch = self.batcher.collate([data])
+        else:
+            batch = self.batcher.collate([{"data": data, "attr": {}}])
+        predict = self._ensure_predict_fn()
+        preds = predict(self._variables(), self._device_arrays(batch))
+        return self.model.inference_end(preds)
+
+    def show_inference(self):
+        """Metric + visual check on one random test sample
+        (reference pipeline/pipeline.py:160-229)."""
+        test_dataset = self.dataset.get_split("test")
+        test_split = PreprocessedDataset(dataset=test_dataset,
+                                         preprocess=self.model.preprocess,
+                                         transform=self.model.transform)
+        idx = random.sample(range(0, len(test_dataset)), 1)
+        print(idx)
+        data_item = test_split[idx[0]]
+        print(test_dataset.get_attr(idx[0]))
+
+        if self.state is None:
+            self._init_state()
+        self.load_ckpt()
+        batch = self.batcher.collate([data_item])
+        predict = self._ensure_predict_fn()
+        preds = predict(self._variables(), self._device_arrays(batch))
+
+        data = data_item["data"]
+        target = [self._target_for_metric(data["bboxes"], data["labels"])]
+        prediction = [self._pred_for_metric(preds, 0)]
+
+        precision, recall = self.ME.evaluate(
+            prediction, target, self.model.classes_ids,
+            self.cfg.get("overlaps", [0.5]))
+
+        print("")
+        print(f' {" ": <9} "==== Precision ==== Recall ==== F1 ====" ')
+        precision = np.mean(precision[:, -1])
+        recall = np.mean(recall[:, -1])
+        f1 = 2 * precision * recall / (precision + recall)
+        print("Overall_precision: {:.2f}".format(precision))
+        print("Overall_recall: {:.2f}".format(recall))
+        print("F1: {:.2f}".format(f1))
+
+        self._draw(data, prediction[0])
+        return prediction[0]
+
+    def _draw(self, data, prediction):
+        """Open3D viewer with red predictions / green GT, if available."""
+        try:
+            import open3d as o3d
+        except ImportError:
+            log.info("open3d not available; skipping visualization")
+            return
+
+        from objectdetection_3d_tpu.augment.numpy_ops import (
+            rotation_matrix_zyx)
+
+        geometries = []
+        pcd = o3d.geometry.PointCloud()
+        pcd.points = o3d.utility.Vector3dVector(data["point"][:, :3])
+        geometries.append(pcd)
+
+        for box in prediction["bbox"]:
+            roll, pitch, yaw = rotation_matrix_zyx(*box[6:9])
+            o3box = o3d.geometry.OrientedBoundingBox(
+                box[:3], yaw @ pitch @ roll, box[3:6])
+            o3box.color = (1, 0, 0)
+            geometries.append(o3box)
+
+        for box in np.array(data["bboxes"]):
+            box = box.copy()
+            box[2] = box[2] + box[5] / 2
+            roll, pitch, yaw = rotation_matrix_zyx(*box[6:9])
+            o3box = o3d.geometry.OrientedBoundingBox(
+                box[:3], yaw @ pitch @ roll, box[3:6])
+            o3box.color = (0, 1, 0)
+            geometries.append(o3box)
+
+        o3d.visualization.draw_geometries(geometries)
+
+    # ------------------------------------------------------------------
+    # evaluation loops
+    # ------------------------------------------------------------------
+    def _eval_split(self, split_name, batch_size, compute_losses=True):
+        """Shared valid/test loop: returns (losses_dict, pred, target)."""
+        split = PreprocessedDataset(
+            dataset=self.dataset.get_split(split_name),
+            preprocess=self.model.preprocess,
+            transform=self.model.transform)
+        loader = DataLoader(split, self.batcher, batch_size=batch_size,
+                            prefetch=2)
+        eval_fn = self._ensure_eval_fn()
+
+        losses_acc = {}
+        prediction, target = [], []
+        for batch in tqdm(loader, desc=split_name):
+            arrays = self._device_arrays(batch)
+            losses, preds = eval_fn(self._variables(), arrays)
+            if compute_losses:
+                for k, v in losses.items():
+                    losses_acc.setdefault(k, []).append(float(v))
+            for i in range(len(batch.attr)):
+                if getattr(batch, "pad_flags", None) and batch.pad_flags[i]:
+                    continue
+                if batch.arrays["num_points"][i] == 0:
+                    log.info("Invalid point cloud load: {}".format(
+                        batch.attr[i].get("path")))
+                    continue
+                target.append(self._target_for_metric(
+                    batch.unpadded_boxes(i), batch.unpadded_labels(i)))
+                prediction.append(self._pred_for_metric(preds, i))
+        return losses_acc, prediction, target
+
+    def _log_pr(self, precision, recall):
+        log.info("")
+        log.info(f' {" ": <9} "==== Precision ==== Recall ==== F1 ====" ')
+        for i, c in enumerate(self.model.classes):
+            p = precision[i, 0]
+            rec = recall[i, 0]
+            f1 = 2 * p * rec / (p + rec) if (p + rec) > 0 else 0.0
+            log.info(f' {c: <15} {p: <15.2f} {rec: <10.2f} {f1:.2f}')
+        precision = np.mean(precision[:, -1])
+        recall = np.mean(recall[:, -1])
+        f1 = (2 * precision * recall / (precision + recall)
+              if (precision + recall) > 0 else 0.0)
+        log.info("")
+        log.info("Overall_precision: {:.2f}".format(precision))
+        log.info("Overall_recall: {:.2f}".format(recall))
+        log.info("F1: {:.2f}".format(f1))
+        return float(precision), float(recall), float(f1)
+
+    def run_valid(self):
+        """Validation losses + precision/recall/F1
+        (reference pipeline/pipeline.py:330-431)."""
+        log.info("Started validation")
+        losses_acc, prediction, target = self._eval_split(
+            "validation", self.cfg.get("validation_batch_size", 1))
+
+        sum_loss = 0.0
+        desc = "validation - "
+        valid_losses = {}
+        for k, v in losses_acc.items():
+            valid_losses[k] = np.mean(v)
+            desc += " %s: %.03f" % (k, valid_losses[k])
+            sum_loss += valid_losses[k]
+        desc += " > loss: %.03f" % sum_loss
+        log.info(desc)
+
+        precision, recall = self.ME.evaluate(
+            prediction, target, self.model.classes_ids,
+            self.cfg.get("overlaps", [0.5]))
+        p, r, f1 = self._log_pr(precision, recall)
+        valid_losses["precision"] = p
+        valid_losses["recall"] = r
+        valid_losses["f1"] = f1
+        return valid_losses
+
+    def run_testing(self):
+        """Test-split evaluation writing ``test_protocol.yaml``
+        (reference pipeline/pipeline.py:232-328)."""
+        test_folder = join(self.cfg.log_dir, "test/")
+        make_dir(test_folder)
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log.info("DEVICE : {}".format(self.device))
+        log_file_path = join(test_folder, "log_test_" + timestamp + ".txt")
+        log.info("Logging in file : {}".format(log_file_path))
+        log.addHandler(logging.FileHandler(log_file_path))
+
+        if self.state is None:
+            self._init_state()
+        self.load_ckpt()
+        log.info("Started testing")
+
+        _, prediction, target = self._eval_split(
+            "testing", self.cfg.get("testing_batch_size", 1),
+            compute_losses=False)
+
+        precision, recall = self.ME.evaluate(
+            prediction, target, self.model.classes_ids,
+            self.cfg.get("overlaps", [0.5]))
+        p, r, f1 = self._log_pr(precision, recall)
+
+        test_protocol = {
+            "0_model": self.cfg.get("model_name", None),
+            "1_model_version": self.cfg.get("resume_from", None),
+            "2_dataset": self.cfg.get("dataset_name", None),
+            "3_date": datetime.now().strftime("%Y-%m-%d_%H:%M:%S"),
+            "4_precision": p,
+            "5_recall": r,
+            "6_f1": f1,
+        }
+        with open(join(test_folder, "test_protocol.yaml"), "w") as outfile:
+            yaml.dump(test_protocol, outfile)
+        return test_protocol
+
+    # ------------------------------------------------------------------
+    # training (reference pipeline/pipeline.py:434-535)
+    # ------------------------------------------------------------------
+    def run_training(self):
+        with open(join(self.cfg.log_dir, "process_config.json"),
+                  "w") as outfile:
+            json.dump(dict(self.global_cfg), outfile, default=str)
+
+        log.info("DEVICE : {}".format(self.device))
+        timestamp = datetime.now().strftime("%Y-%m-%d_%H:%M:%S")
+        log_file_path = join(self.cfg.log_dir,
+                             "log_train_" + timestamp + ".txt")
+        log.info("Logging in file : {}".format(log_file_path))
+        log.addHandler(logging.FileHandler(log_file_path))
+
+        train_split = PreprocessedDataset(
+            dataset=self.dataset.get_split("training"),
+            preprocess=self.model.preprocess,
+            transform=self.model.transform)
+        train_loader = DataLoader(
+            train_split, self.batcher,
+            batch_size=self.cfg.get("training_batch_size", 1), prefetch=2)
+
+        self.optimizer = self.model.get_optimizer(
+            dict(self.cfg.get("optimizer", {})),
+            grad_clip_value=self.cfg.get("grad_clip_norm", -1))
+        self._init_state()
+        self._train_step = self.model.make_train_step(self.optimizer,
+                                                      donate=False)
+        start_ep, _ = self.load_ckpt()
+
+        record_path = join(self.cfg.log_dir, "training_record.csv")
+        if os.path.exists(record_path):
+            training_record = pd.read_csv(record_path, index_col=False)
+        else:
+            training_record = pd.DataFrame(
+                [], columns=["epoch", "precision", "recall", "f1"])
+
+        log.info("Started training")
+        for epoch in range(start_ep, self.cfg.get("max_epoch", 1) + 1):
+            log.info(f"================================ EPOCH {epoch:d}/"
+                     f"{self.cfg.get('max_epoch', 1):d} "
+                     f"================================")
+            self.losses = {}
+            process_bar = tqdm(train_loader, desc="training")
+            for batch in process_bar:
+                arrays = self._device_arrays(batch)
+                self.state, losses = self._train_step(self.state, arrays)
+
+                desc = "training - "
+                for k, v in losses.items():
+                    val = float(v)
+                    self.losses.setdefault(k, []).append(val)
+                    desc += " %s: %.03f" % (k, val)
+                desc += " > loss: %.03f" % sum(
+                    float(v) for v in losses.values())
+                if hasattr(process_bar, "set_description"):
+                    process_bar.set_description(desc)
+
+            metrics_path = join(self.cfg.log_dir, "metrics.npy")
+            if os.path.exists(metrics_path):
+                best_f1 = float(np.load(metrics_path)[2])
+            else:
+                best_f1 = 0.0
+
+            if (epoch % self.cfg.get("validation_freq", 1)) == 0:
+                metrics = self.run_valid()
+                training_record.loc[epoch] = [
+                    epoch, metrics["precision"], metrics["recall"],
+                    metrics["f1"]]
+                if metrics["f1"] > best_f1:
+                    self.save_ckpt(epoch, save_best=True)
+                    np.save(metrics_path,
+                            np.array([metrics["precision"],
+                                      metrics["recall"], metrics["f1"]]))
+
+            if epoch % self.cfg.get("save_ckpt_freq", 5) == 0:
+                self.save_ckpt(epoch, save_best=False)
+
+            training_record.to_csv(record_path, index=False)
+        return training_record

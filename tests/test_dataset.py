@@ -1,0 +1,111 @@
+"""Forest dataset contract + loader padding tests on a synthetic fixture."""
+
+import numpy as np
+import pytest
+
+pytest.importorskip("jax")
+
+from objectdetection_3d_tpu.dataset import (  # noqa: E402
+    DataLoader,
+    Forest3D,
+    PreprocessedDataset,
+    StaticBatcher,
+)
+
+
+def write_cloud(directory, name, n_points=500, n_boxes=2, seed=0,
+                offset=100.0):
+    """Write a .npy pair following the reference disk contract:
+    box z at CENTER, angles in DEGREES, cloud not at origin."""
+    rng = np.random.default_rng(seed)
+    pts = np.zeros((n_points, 4), np.float32)
+    pts[:, :2] = rng.uniform(0, 8, (n_points, 2)) + offset
+    pts[:, 2] = rng.uniform(0, 3, n_points) + offset
+    pts[:, 3] = rng.uniform(0, 1, n_points)
+    boxes = np.zeros((n_boxes, 9), np.float32)
+    boxes[:, :2] = rng.uniform(1, 7, (n_boxes, 2)) + offset
+    boxes[:, 2] = 1.0 + offset  # center z
+    boxes[:, 3:6] = [0.8, 0.8, 2.0]
+    boxes[:, 6:] = rng.uniform(-180, 180, (n_boxes, 3))  # degrees
+    np.save(directory / f"{name}.npy", pts)
+    np.save(directory / f"{name}_bbx.npy", boxes)
+    return pts, boxes
+
+
+@pytest.fixture
+def forest_dir(tmp_path):
+    for split in ("training", "validation", "testing"):
+        d = tmp_path / split
+        d.mkdir()
+        for i in range(2):
+            write_cloud(d, f"{split}_{i}", seed=hash(split) % 1000 + i)
+    return tmp_path
+
+
+def test_split_discovery(forest_dir):
+    ds = Forest3D(str(forest_dir), name="synthetic", seed=0)
+    assert len(ds.get_split("training")) == 2
+    assert len(ds.get_split("validation")) == 2
+    assert len(ds.get_split("testing")) == 2
+    assert ds.get_label_to_names() == {0: "Tree"}
+
+
+def test_disk_convention_fixups(tmp_path):
+    d = tmp_path / "training"
+    d.mkdir()
+    (tmp_path / "validation").mkdir()
+    (tmp_path / "testing").mkdir()
+    pts, boxes_disk = write_cloud(d, "a", seed=1)
+    ds = Forest3D(str(tmp_path), name="synthetic", seed=0)
+    split = ds.get_split("training")
+    data = split.get_data(0)
+
+    # origin shift: cloud min corner at 0
+    np.testing.assert_allclose(data["point"][:, :3].min(0), 0.0, atol=1e-5)
+    # z moved from center to bottom, then shifted with the cloud
+    shift = pts[:, :3].min(0)
+    want_z = boxes_disk[0, 2] - boxes_disk[0, 5] / 2 - shift[2]
+    got = data["bboxes"]
+    row = np.argmin(np.abs(got[:, 2] - want_z))
+    np.testing.assert_allclose(got[row, 2], want_z, atol=1e-4)
+    # angles converted to radians
+    assert np.all(np.abs(got[:, 6:]) <= np.pi + 1e-6)
+    # labels all zero
+    np.testing.assert_array_equal(data["labels"], 0)
+    attr = split.get_attr(0)
+    assert attr["split"] == "training" and attr["name"]
+
+
+def test_static_batcher_padding(forest_dir):
+    ds = Forest3D(str(forest_dir), name="synthetic", seed=0)
+    split = PreprocessedDataset(dataset=ds.get_split("training"))
+    batcher = StaticBatcher(max_points=1024, max_gt=4, num_features=4)
+    loader = DataLoader(split, batcher, batch_size=2, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 1
+    b = batches[0]
+    assert b.points.shape == (2, 1024, 4)
+    assert b.bboxes.shape == (2, 4, 9)
+    assert b.arrays["gt_mask"].sum(axis=1).tolist() == [2, 2]
+    assert len(b.attr) == 2
+    # unpadded accessors give back the real boxes
+    assert b.unpadded_boxes(0).shape == (2, 9)
+
+
+def test_batcher_point_subsampling():
+    batcher = StaticBatcher(max_points=64, max_gt=2, num_features=4)
+    item = {"data": {"point": np.random.rand(200, 4).astype(np.float32),
+                     "labels": np.zeros(1), "bboxes": np.zeros((1, 9))},
+            "attr": {}}
+    b = batcher.collate([item])
+    assert b.arrays["num_points"][0] == 64
+
+
+def test_short_batch_padding(forest_dir):
+    ds = Forest3D(str(forest_dir), name="synthetic", seed=0)
+    split = PreprocessedDataset(dataset=ds.get_split("training"))
+    batcher = StaticBatcher(max_points=1024, max_gt=4, num_features=4)
+    loader = DataLoader(split, batcher, batch_size=4, prefetch=0)
+    (b,) = list(loader)
+    assert b.points.shape[0] == 4
+    assert b.pad_flags == [False, False, True, True]
