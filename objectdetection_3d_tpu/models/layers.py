@@ -257,6 +257,104 @@ class SubmanifoldSparseRPN(nn.Module):
         return x
 
 
+class BackboneDWS(nn.Module):
+    """SECOND-style strided 2D backbone (reference
+    model/PointPillars.py:575-638).  Constructed but bypassed by the active
+    reference config (model/PointPillars.py:101-103); provided for full
+    capability parity and usable via ``use_dense_backbone``.
+    """
+
+    out_channels: Sequence[int]
+    layer_nums: Sequence[int]
+    layer_strides: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        """(B, H, W, C) -> tuple of multi-scale feature maps."""
+        outs = []
+        li = 0
+        for ch, num, stride in zip(self.out_channels, self.layer_nums,
+                                   self.layer_strides):
+            x = nn.Conv(ch, (3, 3), strides=(stride, stride),
+                        padding=((1, 1), (1, 1)), use_bias=False,
+                        dtype=self.dtype, name=f"conv_{li}")(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             momentum=0.99, name=f"bn_{li}")(x)
+            x = nn.relu(x)
+            li += 1
+            for _ in range(num):
+                x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
+                            dtype=self.dtype, name=f"conv_{li}")(x)
+                x = nn.BatchNorm(use_running_average=not train,
+                                 epsilon=1e-3, momentum=0.99,
+                                 name=f"bn_{li}")(x)
+                x = nn.relu(x)
+                li += 1
+            outs.append(x)
+        return tuple(outs)
+
+
+class BackboneUPS(nn.Module):
+    """SECONDFPN-style upsampling neck (reference
+    model/PointPillars.py:641-711): per-scale transposed conv (or strided
+    conv for downscale), BN + ReLU, channel concat."""
+
+    out_channels: Sequence[int]
+    upsample_strides: Sequence[int]
+    use_conv_for_no_stride: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, train: bool):
+        """tuple of (B, Hi, Wi, Ci) -> (B, H, W, sum(out_channels))."""
+        ups = []
+        for i, (x, ch, stride) in enumerate(
+                zip(xs, self.out_channels, self.upsample_strides)):
+            if stride > 1 or (stride == 1
+                              and not self.use_conv_for_no_stride):
+                x = nn.ConvTranspose(
+                    ch, (stride, stride), strides=(stride, stride),
+                    use_bias=False, dtype=self.dtype,
+                    kernel_init=nn.initializers.kaiming_normal(),
+                    name=f"deconv_{i}")(x)
+            else:
+                s = int(round(1 / stride)) if stride < 1 else 1
+                x = nn.Conv(ch, (s, s), strides=(s, s), use_bias=False,
+                            dtype=self.dtype,
+                            kernel_init=nn.initializers.kaiming_normal(),
+                            name=f"conv_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             momentum=0.99, name=f"bn_{i}")(x)
+            x = nn.relu(x)
+            ups.append(x)
+        if len(ups) > 1:
+            return jnp.concatenate(ups, axis=-1)
+        return ups[0]
+
+
+class MLP(nn.Module):
+    """Foreground/background point classifier MLP
+    (reference model/mlp.py:4-88): 6 dense blocks with BN + ReLU + dropout,
+    sigmoid output."""
+
+    input_channels: int = 37
+    hidden: Sequence[int] = (100, 500, 250, 100, 25)
+    dropout: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i, h in enumerate(self.hidden):
+            x = nn.Dense(h, name=f"dense_{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name=f"bn_{i}")(x)
+            x = nn.relu(x)
+            x = nn.Dropout(self.dropout, deterministic=not train,
+                           name=f"drop_{i}")(x)
+        x = nn.Dense(1, name="out")(x)
+        return jax.nn.sigmoid(x)
+
+
 class Anchor3DHead(nn.Module):
     """SSD-style detection head (reference model/PointPillars.py:795-884).
 

@@ -63,7 +63,9 @@ class PointPillarsNet(nn.Module):
         )(fv, fn, fc, fm, train)
 
         # scatter voxel features onto the dense (z, y, x) grid; padding
-        # voxels are routed out of bounds and dropped
+        # voxels are routed out of bounds and dropped.  The grid is the
+        # largest activation — keep it in the compute dtype.
+        feats = feats.astype(self.dtype)
         cf = feats.shape[-1]
         bi = jnp.repeat(jnp.arange(b), v)
         zi = jnp.where(fm, fc[:, 0], d)

@@ -10,17 +10,18 @@ static-buffer Sutherland-Hodgman pass (a convex polygon gains at most one
 vertex per clip, so 4 + 6 = 10 <= 12 slots), and the enclosed volume follows
 from the divergence theorem over the outward-oriented clipped polygons.
 
-Everything is fixed-shape, mask-based, and vectorized over box pairs — no
-data-dependent control flow, so XLA maps it straight onto the VPU.
+Layout is structured for the VPU: polygon vertex coordinates are stored as
+separate x/y/z arrays of shape ``(6 faces, M slots, *pair_dims)`` with the
+*pair* dimensions minor, so every elementwise op fills the 8x128 vector
+lanes with independent box pairs.  Ring compaction after each clip uses a
+one-hot contraction over the slot axis — no scatters, no gathers, no
+data-dependent control flow anywhere.
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
-
-# TPU matmuls default to bf16; clipping decisions need full f32.
-_HI = jax.lax.Precision.HIGHEST
 
 from objectdetection_3d_tpu.ops.boxes import (
     FACES_OUTWARD,
@@ -31,95 +32,133 @@ from objectdetection_3d_tpu.ops.boxes import (
 # max vertices a clipped face polygon can reach: 4 initial + 6 clips
 _MAX_VERTS = 12
 _EPS = 1e-6
-
-
-def _clip_poly_one_plane(verts, count, normal, offset):
-    """Clip one convex polygon by the half-space ``normal . x <= offset``.
-
-    Args:
-        verts: (M, 3) padded vertex ring, first ``count`` valid.
-        count: scalar int32 number of valid vertices.
-        normal: (3,), offset: scalar.
-    Returns:
-        (new_verts (M, 3), new_count).
-    """
-    m = verts.shape[0]
-    idx = jnp.arange(m)
-    s = jnp.matmul(verts, normal, precision=_HI) - offset
-    inside = s <= _EPS
-    safe_count = jnp.maximum(count, 1)
-    nxt = jnp.where(idx + 1 < safe_count, idx + 1, 0)
-    v_next = verts[nxt]
-    s_next = s[nxt]
-    inside_next = inside[nxt]
-
-    denom = s - s_next
-    denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
-    t = jnp.clip(s / denom, 0.0, 1.0)
-    ip = verts + t[:, None] * (v_next - verts)
-
-    edge_valid = idx < count
-    emit_vertex = edge_valid & inside
-    emit_inter = edge_valid & (inside != inside_next)
-
-    # edge-major interleave keeps the ring order of the output polygon
-    cand = jnp.stack([verts, ip], axis=1).reshape(2 * m, 3)
-    valid = jnp.stack([emit_vertex, emit_inter], axis=1).reshape(2 * m)
-    pos = jnp.cumsum(valid) - 1
-    pos = jnp.where(valid, pos, 2 * m)  # out-of-range -> dropped
-    new_verts = jnp.zeros_like(verts).at[pos].set(cand, mode="drop")
-    new_count = jnp.sum(valid).astype(jnp.int32)
-    return new_verts, new_count
-
-
-def _polygon_volume_term(verts, count):
-    """Divergence-theorem contribution of one outward-oriented polygon.
-
-    Fan-triangulates from vertex 0; each triangle (v0, vi, vi+1) contributes
-    ``det(v0, vi, vi+1) / 6`` of signed volume.
-    """
-    m = verts.shape[0]
-    i = jnp.arange(m)
-    valid_tri = (i >= 1) & (i + 1 < count)
-    nxt = jnp.where(i + 1 < m, i + 1, 0)
-    cross = jnp.cross(verts, verts[nxt])
-    contrib = jnp.matmul(cross, verts[0], precision=_HI)
-    return jnp.sum(jnp.where(valid_tri, contrib, 0.0)) / 6.0
-
-
-def _clipped_faces_volume(face_verts, normals, offsets):
-    """Volume bounded by quad faces of one box, clipped inside the other.
-
-    Args:
-        face_verts: (6, 4, 3) outward-wound quad faces.
-        normals: (6, 3), offsets: (6,) half-spaces of the clipping box.
-    Returns:
-        scalar signed-volume contribution.
-    """
-    pad = jnp.zeros((6, _MAX_VERTS - 4, 3), face_verts.dtype)
-    verts = jnp.concatenate([face_verts, pad], axis=1)
-    counts = jnp.full((6,), 4, jnp.int32)
-    clip = jax.vmap(_clip_poly_one_plane, in_axes=(0, 0, None, None))
-    for j in range(6):
-        verts, counts = clip(verts, counts, normals[j], offsets[j])
-    return jnp.sum(jax.vmap(_polygon_volume_term)(verts, counts))
-
-
+# asymmetric epsilon so a face plane shared by both boxes (identical /
+# touching boxes) is counted exactly once across the two boundary pieces
 _SHRINK = 1e-5
 
 
-def _pair_intersection_volume(c1, n1, d1, c2, n2, d2):
-    """Intersection volume of two boxes given corners + half-spaces.
+def _clip_by_plane(vx, vy, vz, cnt, nx, ny, nz, off):
+    """One Sutherland-Hodgman pass over a batch of convex polygons.
 
-    The two boundary pieces are clipped with asymmetric epsilons (B shrunk
-    when clipping A's faces, A expanded when clipping B's) so that a face
-    plane shared by both boxes — the identical-boxes / touching-faces case —
-    is counted exactly once instead of twice.
+    Args:
+        vx, vy, vz: (F, M, *batch) vertex coordinates, ring order, first
+            ``cnt`` valid.
+        cnt: (F, *batch) int32 vertex counts (broadcast-compatible).
+        nx, ny, nz, off: half-space ``n . x <= off``; any shape
+            broadcastable against (*batch,).
+    Returns:
+        (vx, vy, vz, cnt) after clipping (same M).
     """
-    f1 = c1[FACES_OUTWARD]
-    f2 = c2[FACES_OUTWARD]
-    return (_clipped_faces_volume(f1, n2, d2 - _SHRINK)
-            + _clipped_faces_volume(f2, n1, d1 + _SHRINK))
+    s = nx * vx + ny * vy + nz * vz - off
+    # first clip may broadcast the pair dims in: align all state to it
+    vx = jnp.broadcast_to(vx, s.shape)
+    vy = jnp.broadcast_to(vy, s.shape)
+    vz = jnp.broadcast_to(vz, s.shape)
+    cnt = jnp.broadcast_to(cnt, s.shape[:1] + s.shape[2:])
+
+    f, m = vx.shape[0], vx.shape[1]
+    batch_rank = vx.ndim - 2
+    i = jnp.arange(m).reshape((1, m) + (1,) * batch_rank)
+
+    inside = s <= _EPS
+    cnt_e = cnt[:, None]
+    is_last = i == cnt_e - 1
+
+    def ring_next(a):
+        rolled = jnp.roll(a, -1, axis=1)
+        return jnp.where(is_last, a[:, 0:1], rolled)
+
+    sn = ring_next(s)
+    inside_n = sn <= _EPS
+    vxn, vyn, vzn = ring_next(vx), ring_next(vy), ring_next(vz)
+
+    denom = s - sn
+    denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+    t = jnp.clip(s / denom, 0.0, 1.0)
+    ipx = vx + t * (vxn - vx)
+    ipy = vy + t * (vyn - vy)
+    ipz = vz + t * (vzn - vz)
+
+    edge_valid = i < cnt_e
+    emit_v = edge_valid & inside
+    emit_i = edge_valid & (inside != inside_n)
+
+    # edge-major interleave keeps the output ring order
+    def interleave(a, b):
+        stacked = jnp.stack([a, b], axis=2)
+        return stacked.reshape((f, 2 * m) + stacked.shape[3:])
+
+    cx = interleave(vx, ipx)
+    cy = interleave(vy, ipy)
+    cz = interleave(vz, ipz)
+    valid = interleave(emit_v, emit_i)
+
+    pos = jnp.cumsum(valid, axis=1) - 1  # (F, 2M, *batch)
+    j = jnp.arange(m).reshape((1, 1, m) + (1,) * batch_rank)
+    sel = jnp.where((pos[:, :, None] == j) & valid[:, :, None], 1.0, 0.0)
+
+    new_vx = jnp.sum(cx[:, :, None] * sel, axis=1)
+    new_vy = jnp.sum(cy[:, :, None] * sel, axis=1)
+    new_vz = jnp.sum(cz[:, :, None] * sel, axis=1)
+    new_cnt = jnp.sum(valid, axis=1).astype(jnp.int32)
+    return new_vx, new_vy, new_vz, new_cnt
+
+
+def _clipped_volume(faces, normals, offsets):
+    """Signed volume bounded by quad faces clipped into a half-space set.
+
+    Args:
+        faces: (F=6, 4, 3, *fbatch) outward-wound quads.
+        normals: (6, 3, *pbatch), offsets: (6, *pbatch) half-spaces; fbatch
+            and pbatch must broadcast to a common *batch.
+    Returns:
+        (*batch,) volume contribution.
+    """
+    f = faces.shape[0]
+    pad_shape = (f, _MAX_VERTS - 4) + faces.shape[3:]
+    vx = jnp.concatenate(
+        [faces[:, :, 0], jnp.zeros(pad_shape, faces.dtype)], axis=1)
+    vy = jnp.concatenate(
+        [faces[:, :, 1], jnp.zeros(pad_shape, faces.dtype)], axis=1)
+    vz = jnp.concatenate(
+        [faces[:, :, 2], jnp.zeros(pad_shape, faces.dtype)], axis=1)
+    cnt = jnp.full((f,) + faces.shape[3:], 4, jnp.int32)
+
+    for jdx in range(6):
+        vx, vy, vz, cnt = _clip_by_plane(
+            vx, vy, vz, cnt,
+            normals[jdx, 0], normals[jdx, 1], normals[jdx, 2],
+            offsets[jdx])
+
+    # divergence-theorem fan: sum det(v0, vi, vi+1)/6 over valid triangles
+    m = _MAX_VERTS
+    batch_rank = vx.ndim - 2
+    i = jnp.arange(m).reshape((1, m) + (1,) * batch_rank)
+    cnt_e = cnt[:, None]
+    vxn = jnp.roll(vx, -1, axis=1)
+    vyn = jnp.roll(vy, -1, axis=1)
+    vzn = jnp.roll(vz, -1, axis=1)
+    crx = vy * vzn - vz * vyn
+    cry = vz * vxn - vx * vzn
+    crz = vx * vyn - vy * vxn
+    contrib = vx[:, 0:1] * crx + vy[:, 0:1] * cry + vz[:, 0:1] * crz
+    tri_valid = (i >= 1) & (i + 1 < cnt_e)
+    vol = jnp.sum(jnp.where(tri_valid, contrib, 0.0), axis=(0, 1)) / 6.0
+    return vol
+
+
+def _faces_xyz(boxes):
+    """(..., 9) -> (6, 4, 3, ...) outward quad faces, box dims trailing."""
+    corners = box_corners_3d(boxes)          # (..., 8, 3)
+    faces = corners[..., FACES_OUTWARD, :]   # (..., 6, 4, 3)
+    return jnp.moveaxis(faces, (-3, -2, -1), (0, 1, 2))
+
+
+def _planes_xyz(boxes):
+    """(..., 9) -> normals (6, 3, ...), offsets (6, ...)."""
+    normals, offsets = box_planes(boxes)     # (..., 6, 3), (..., 6)
+    return (jnp.moveaxis(normals, (-2, -1), (0, 1)),
+            jnp.moveaxis(offsets, -1, 0))
 
 
 def intersection_volume_3d(boxes1, boxes2):
@@ -130,16 +169,26 @@ def intersection_volume_3d(boxes1, boxes2):
     Returns:
         (N, K) volumes.
     """
-    c1 = box_corners_3d(boxes1)
-    n1, d1 = box_planes(boxes1)
-    c2 = box_corners_3d(boxes2)
-    n2, d2 = box_planes(boxes2)
-    pair = jax.vmap(
-        jax.vmap(_pair_intersection_volume,
-                 in_axes=(None, None, None, 0, 0, 0)),
-        in_axes=(0, 0, 0, None, None, None),
-    )
-    return pair(c1, n1, d1, c2, n2, d2)
+    f1 = _faces_xyz(boxes1)[..., :, None]     # (6, 4, 3, N, 1)
+    n1, d1 = _planes_xyz(boxes1)              # (6, 3, N), (6, N)
+    f2 = _faces_xyz(boxes2)[..., None, :]     # (6, 4, 3, 1, K)
+    n2, d2 = _planes_xyz(boxes2)              # (6, 3, K), (6, K)
+
+    vol_a = _clipped_volume(
+        f1, n2[:, :, None, :], d2[:, None, :] - _SHRINK)
+    vol_b = _clipped_volume(
+        f2, n1[:, :, :, None], d1[:, :, None] + _SHRINK)
+    return vol_a + vol_b
+
+
+def intersection_volume_3d_aligned(boxes1, boxes2):
+    """Elementwise intersection volumes for aligned (N, 9) x (N, 9)."""
+    f1 = _faces_xyz(boxes1)
+    n1, d1 = _planes_xyz(boxes1)
+    f2 = _faces_xyz(boxes2)
+    n2, d2 = _planes_xyz(boxes2)
+    return (_clipped_volume(f1, n2, d2 - _SHRINK)
+            + _clipped_volume(f2, n1, d1 + _SHRINK))
 
 
 @partial(jax.jit, static_argnames=("row_chunk",))
@@ -153,8 +202,8 @@ def iou3d(boxes1, boxes2, row_chunk=None):
 
     Args:
         boxes1: (N, 9), boxes2: (K, 9).
-        row_chunk: optional static chunk size over N to bound the (N*K)
-            clipping buffers; required for large N*K.
+        row_chunk: optional static chunk size over N bounding the clipping
+            buffers (buffers scale as 6 * 24 * 12 * chunk * K floats).
     Returns:
         (N, K) IoU matrix.
     """
@@ -169,7 +218,7 @@ def iou3d(boxes1, boxes2, row_chunk=None):
         pad = (-n) % chunk
         padded = jnp.concatenate(
             [boxes1, jnp.zeros((pad, boxes1.shape[1]), boxes1.dtype)], 0)
-        rows = padded.reshape(n // chunk + (1 if pad else 0), chunk, -1)
+        rows = padded.reshape(-1, chunk, boxes1.shape[1])
         inter = jax.lax.map(
             lambda b: intersection_volume_3d(b, boxes2), rows)
         inter = inter.reshape(-1, boxes2.shape[0])[:n]
@@ -182,12 +231,7 @@ def iou3d(boxes1, boxes2, row_chunk=None):
 @jax.jit
 def iou3d_aligned(boxes1, boxes2):
     """Elementwise IoU of aligned box arrays (N, 9) x (N, 9) -> (N,)."""
-    c1 = box_corners_3d(boxes1)
-    n1, d1 = box_planes(boxes1)
-    c2 = box_corners_3d(boxes2)
-    n2, d2 = box_planes(boxes2)
-    inter = jax.vmap(_pair_intersection_volume)(c1, n1, d1, c2, n2, d2)
-    inter = jnp.clip(inter, 0.0)
+    inter = jnp.clip(intersection_volume_3d_aligned(boxes1, boxes2), 0.0)
     vol1 = jnp.prod(boxes1[:, 3:6], axis=-1)
     vol2 = jnp.prod(boxes2[:, 3:6], axis=-1)
     union = vol1 + vol2 - inter

@@ -109,36 +109,36 @@ def voxelize(
     pts_s = points[order]
     cell3_s = cell3[order]
 
+    # run decomposition without any scatters (TPU scatters serialize; the
+    # whole finalization below is searchsorted + gathers):
+    # vox_id is nondecreasing over the sorted order, so per-voxel run
+    # boundaries come from binary search.
     first = jnp.concatenate(
         [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)
     vox_id = jnp.cumsum(first) - 1  # voxel index of each sorted point
-    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
-    rank = idx - run_start
+    vox_id_search = jnp.where(cell_s < sentinel, vox_id, max_voxels + p)
 
-    keep = ((cell_s < sentinel)
-            & (rank < max_points_per_voxel)
-            & (vox_id < max_voxels)
-            & (vox_id >= 0))
+    v_ids = jnp.arange(max_voxels)
+    starts = jnp.searchsorted(vox_id_search, v_ids, side="left")
+    ends = jnp.searchsorted(vox_id_search, v_ids, side="right")
 
-    scatter_vox = jnp.where(keep, vox_id, max_voxels).astype(jnp.int32)
-    scatter_rank = jnp.where(keep, rank, max_points_per_voxel).astype(
-        jnp.int32)
+    num_voxels = jnp.minimum(jnp.sum(first), max_voxels).astype(jnp.int32)
+    voxel_mask = v_ids < num_voxels
 
-    voxels = jnp.zeros(
-        (max_voxels, max_points_per_voxel, points.shape[1]), points.dtype
-    ).at[scatter_vox, scatter_rank].set(pts_s, mode="drop")
+    counts = jnp.where(
+        voxel_mask,
+        jnp.minimum(ends - starts, max_points_per_voxel), 0
+    ).astype(jnp.int32)
 
-    counts = jnp.zeros((max_voxels,), jnp.int32).at[scatter_vox].add(
-        keep.astype(jnp.int32), mode="drop")
+    slot = jnp.arange(max_points_per_voxel)
+    src = jnp.clip(starts[:, None] + slot[None, :], 0, p - 1)
+    slot_valid = (slot[None, :] < counts[:, None])
+    voxels = pts_s[src] * slot_valid[..., None].astype(points.dtype)
 
-    head = first & (vox_id < max_voxels)
-    coord_scatter = jnp.where(head, vox_id, max_voxels).astype(jnp.int32)
     # store (z, y, x) like the reference's flipped coords
-    coords = jnp.full((max_voxels, 3), -1, jnp.int32).at[coord_scatter].set(
-        cell3_s[:, ::-1], mode="drop")
-
-    num_voxels = jnp.sum(head).astype(jnp.int32)
-    voxel_mask = jnp.arange(max_voxels) < num_voxels
+    head_src = jnp.clip(starts, 0, p - 1)
+    coords = jnp.where(voxel_mask[:, None],
+                       cell3_s[head_src][:, ::-1], -1).astype(jnp.int32)
     return {
         "voxels": voxels,
         "coords": coords,
