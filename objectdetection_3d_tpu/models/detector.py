@@ -53,6 +53,7 @@ class PointPillars(BaseModel):
                  head=None,
                  loss=None,
                  tpu=None,
+                 use_dense_backbone=False,
                  **kwargs):
         super().__init__(name=name,
                          point_cloud_range=list(point_cloud_range),
@@ -103,7 +104,9 @@ class PointPillars(BaseModel):
 
         vertical = dict(vertical_encoder or {})
         backbone = dict(backbone or {})
+        neck = dict(neck or {})
         ve_cfg = dict(voxel_encoder or {})
+        self.use_dense_backbone = bool(use_dense_backbone)
 
         self.anchor_generator = Anchor3DRangeGenerator(
             ranges=head["ranges"], sizes=head["sizes"],
@@ -111,8 +114,18 @@ class PointPillars(BaseModel):
             box_params_num=self.box_params_num)
         self.num_anchors = self.anchor_generator.num_base_anchors
         d, h, w = self.grid_dhw
+        if self.use_dense_backbone:
+            # dense SECOND backbone downsamples by the stage strides and
+            # the FPN upsamples each scale back to a common resolution
+            strides = [int(v) for v in backbone.get("layer_strides",
+                                                    [2, 2, 2])]
+            ups = [int(v) for v in neck.get("upsample_strides", [1, 2, 4])]
+            factor = int(np.prod(strides)) // ups[-1]
+            self.featmap = (h // factor, w // factor)
+        else:
+            self.featmap = (h, w)
         self.anchors = jnp.asarray(
-            self.anchor_generator.flat_anchors((h, w)))
+            self.anchor_generator.flat_anchors(self.featmap))
         self.bbox_coder = BBoxCoder()
 
         self.net = PointPillarsNet(
@@ -128,6 +141,13 @@ class PointPillars(BaseModel):
             num_anchors=self.num_anchors,
             box_params_num=self.box_params_num,
             dtype=self.compute_dtype,
+            use_dense_backbone=self.use_dense_backbone,
+            backbone_strides=tuple(
+                int(v) for v in backbone.get("layer_strides", [2, 2, 2])),
+            neck_channels=tuple(
+                int(v) for v in neck.get("out_channels", [])),
+            neck_upsample_strides=tuple(
+                int(v) for v in neck.get("upsample_strides", [])),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),
@@ -156,7 +176,8 @@ class PointPillars(BaseModel):
         the full 400x400 grid on the host.
         """
         d, _, _ = self.grid_dhw
-        small = self.net.clone(grid=(d, 4, 4))
+        # 16x16 keeps every backbone stride/neck upsample combination valid
+        small = self.net.clone(grid=(d, 16, 16))
         m = self.voxel_layer.max_voxel_points
         c = len(self.input_features)
         voxels = jnp.zeros((1, 8, m, c), jnp.float32)
@@ -402,15 +423,12 @@ class PointPillars(BaseModel):
         then train-time augmentation."""
         rng = rng if rng is not None else self.rng
 
-        points = global_outlier_check(np.asarray(data["point"]))
-        points = np.array(points, dtype=np.float32)
         bboxes = np.array(data["bboxes"], dtype=np.float32).reshape(-1, 9)
         min_val = np.array(self.point_cloud_range[:3])
         max_val = np.array(self.point_cloud_range[3:])
 
-        points = points[np.where(
-            np.all(np.logical_and(points[:, :3] >= min_val,
-                                  points[:, :3] < max_val), axis=-1))]
+        points = self._preprocess_points(np.asarray(data["point"]))
+
         bboxes = bboxes[np.where(
             np.all(np.logical_and(bboxes[:, :2] >= min_val[:2],
                                   bboxes[:, :2] < max_val[:2]), axis=-1))]
@@ -419,8 +437,6 @@ class PointPillars(BaseModel):
             print("There are no points in defined range. Range is defined "
                   "wrongly or this particular point cloud is affected with "
                   "outliers: {}".format(attr.get("name")))
-
-        points = points[:, self.input_features]
         data = dict(data)
         data["point"] = points
         data["bboxes"] = bboxes
@@ -430,6 +446,26 @@ class PointPillars(BaseModel):
 
         return {"point": data["point"], "labels": data["labels"],
                 "bboxes": data["bboxes"]}
+
+    def _preprocess_points(self, points):
+        """Outlier-reject + range-crop + column-select, preferring the
+        native C++ fused pass when available (identical semantics)."""
+        from objectdetection_3d_tpu import native
+
+        pts32 = np.asarray(points, np.float32)
+        if pts32.ndim == 2 and pts32.shape[0] > 0:
+            out = native.preprocess_cloud(
+                pts32, self.input_features, self.point_cloud_range)
+            if out is not None:
+                return out
+
+        filtered = global_outlier_check(pts32)
+        min_val = np.array(self.point_cloud_range[:3])
+        max_val = np.array(self.point_cloud_range[3:])
+        filtered = filtered[np.where(
+            np.all(np.logical_and(filtered[:, :3] >= min_val,
+                                  filtered[:, :3] < max_val), axis=-1))]
+        return filtered[:, self.input_features]
 
     def transform(self, data, attr):
         """Identity hook (reference model/PointPillars.py:280-284)."""

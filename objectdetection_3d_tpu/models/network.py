@@ -14,6 +14,8 @@ import flax.linen as nn
 
 from objectdetection_3d_tpu.models.layers import (
     Anchor3DHead,
+    BackboneDWS,
+    BackboneUPS,
     PillarFeatureNet,
     SparseMiddleExtractor,
     SubmanifoldSparseRPN,
@@ -35,6 +37,13 @@ class PointPillarsNet(nn.Module):
     num_anchors: int
     box_params_num: int = 9
     dtype: jnp.dtype = jnp.float32
+    # route features through the dense SECOND backbone + FPN neck instead
+    # of the submanifold RPN (the reference constructs both and bypasses
+    # the dense pair, model/PointPillars.py:101-103)
+    use_dense_backbone: bool = False
+    backbone_strides: tuple = (2, 2, 2)
+    neck_channels: tuple = ()
+    neck_upsample_strides: tuple = ()
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -59,6 +68,7 @@ class PointPillarsNet(nn.Module):
             feat_channels=self.pfn_channels,
             voxel_size=self.voxel_size,
             point_cloud_range=self.point_cloud_range,
+            dtype=self.dtype,
             name="voxel_encoder",
         )(fv, fn, fc, fm, train)
 
@@ -83,16 +93,31 @@ class PointPillarsNet(nn.Module):
             name="pseudoimage_generator",
         )(grid, mask, train)
 
-        # the reference re-derives the 2D active set from nonzero
-        # pseudo-pixels (model/PointPillars.py:769-784)
-        rpn_mask = jnp.any(pseudo != 0, axis=-1, keepdims=True)
+        if self.use_dense_backbone:
+            feats_ms = BackboneDWS(
+                out_channels=self.rpn_channels,
+                layer_nums=self.rpn_layer_nums,
+                layer_strides=self.backbone_strides,
+                dtype=self.dtype,
+                name="backbone",
+            )(pseudo, train)
+            x = BackboneUPS(
+                out_channels=self.neck_channels,
+                upsample_strides=self.neck_upsample_strides,
+                dtype=self.dtype,
+                name="neck",
+            )(feats_ms, train)
+        else:
+            # the reference re-derives the 2D active set from nonzero
+            # pseudo-pixels (model/PointPillars.py:769-784)
+            rpn_mask = jnp.any(pseudo != 0, axis=-1, keepdims=True)
 
-        x = SubmanifoldSparseRPN(
-            out_channels=self.rpn_channels,
-            layer_nums=self.rpn_layer_nums,
-            dtype=self.dtype,
-            name="sparse_rpn",
-        )(pseudo, rpn_mask, train)
+            x = SubmanifoldSparseRPN(
+                out_channels=self.rpn_channels,
+                layer_nums=self.rpn_layer_nums,
+                dtype=self.dtype,
+                name="sparse_rpn",
+            )(pseudo, rpn_mask, train)
 
         return Anchor3DHead(
             num_classes=self.num_classes,

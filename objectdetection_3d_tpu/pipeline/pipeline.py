@@ -410,6 +410,13 @@ class ObjectDetection(BasePipeline):
             training_record = pd.DataFrame(
                 [], columns=["epoch", "precision", "recall", "f1"])
 
+        from objectdetection_3d_tpu.profiling import StepTimer, trace
+
+        timer = StepTimer(log_every=self.cfg.get("log_step_freq", 50))
+        profile_dir = self.cfg.get("profile_dir", None)
+        profile_steps = int(self.cfg.get("profile_steps", 0))
+        profiled = 0
+
         log.info("Started training")
         for epoch in range(start_ep, self.cfg.get("max_epoch", 1) + 1):
             log.info(f"================================ EPOCH {epoch:d}/"
@@ -419,11 +426,25 @@ class ObjectDetection(BasePipeline):
             process_bar = tqdm(train_loader, desc="training")
             for batch in process_bar:
                 arrays = self._device_arrays(batch)
-                self.state, losses = self._train_step(self.state, arrays)
+                if profile_dir and profiled < profile_steps:
+                    with trace(profile_dir):
+                        self.state, losses = self._train_step(self.state,
+                                                              arrays)
+                        jax.block_until_ready(losses)
+                    profiled += 1
+                else:
+                    self.state, losses = self._train_step(self.state,
+                                                          arrays)
+                timer.step()
 
                 desc = "training - "
                 for k, v in losses.items():
                     val = float(v)
+                    if np.isnan(val) and self.cfg.get("halt_on_nan", True):
+                        raise FloatingPointError(
+                            f"NaN in {k} at epoch {epoch} "
+                            f"(batch {batch.attr}); halting — resume from "
+                            f"the last checkpoint with is_resume: true")
                     self.losses.setdefault(k, []).append(val)
                     desc += " %s: %.03f" % (k, val)
                 desc += " > loss: %.03f" % sum(

@@ -1,0 +1,161 @@
+"""Tiled inference over arbitrarily large scenes + global NMS merge.
+
+The reference handles multi-million-point clouds only by capping voxel
+counts (config.yaml:36) and density-downsampling (model/utils.py:15-43) —
+scenes larger than the 40x40 m model range are simply cropped
+(model/PointPillars.py:251-255).  The TPU build adds the static-shape
+answer to unbounded scenes (BASELINE config #5): slide the model's fixed
+xy window over the scene with overlap, run the jitted predictor per tile
+(one compiled program, reused for every tile), shift detections back into
+scene frame, and merge with a global greedy NMS.
+
+This is also the scale-out hook: tiles are independent, so a batch of
+tiles can be data-parallel sharded across chips (spatial sharding is this
+workload's analog of sequence parallelism).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from objectdetection_3d_tpu.ops.nms import multiclass_nms
+
+
+class TiledInference:
+    """Sliding-window detector over scenes larger than the model range."""
+
+    def __init__(self, model, variables, overlap=5.0, batch_tiles=1,
+                 max_merge_boxes=2048, predict_fn=None):
+        """
+        Args:
+            model: PointPillars detector.
+            variables: {'params', 'batch_stats'}.
+            overlap: tile overlap in meters (objects up to ``overlap`` wide
+                are seen whole by at least one tile).
+            batch_tiles: tiles run per device batch.
+            max_merge_boxes: static budget for the global NMS merge.
+        """
+        self.model = model
+        self.variables = variables
+        self.overlap = float(overlap)
+        self.batch_tiles = int(batch_tiles)
+        self.max_merge_boxes = int(max_merge_boxes)
+        self._predict = predict_fn or model.make_predict_fn()
+        self._merge = jax.jit(self._merge_fn)
+
+        pcr = model.point_cloud_range
+        self.tile_x = pcr[3] - pcr[0]
+        self.tile_y = pcr[4] - pcr[1]
+
+    def _tile_origins(self, lo, hi, tile, overlap):
+        stride = max(tile - overlap, tile * 0.5)
+        n = max(int(np.ceil(max(hi - lo - overlap, 1e-9) / stride)), 1)
+        origins = lo + stride * np.arange(n)
+        # clamp the last tile inside the scene
+        origins = np.minimum(origins, max(hi - tile, lo))
+        return np.unique(origins)
+
+    def _merge_fn(self, boxes, scores, labels, valid):
+        num_classes = max(self.model.num_classes, 1)
+        cls_scores = jnp.where(
+            labels[:, None] == jnp.arange(num_classes)[None, :],
+            scores[:, None], 0.0)
+        keep = multiclass_nms(
+            boxes, cls_scores,
+            score_thr=float(self.model.head_cfg.get("score_thr", 0.1)),
+            iou_thr=float(self.model.head_cfg.get("nms_thresh", 0.7)),
+            nms_dim=self.model.nms_dim,
+            valid_mask=valid)
+        return jnp.any(keep, axis=1)
+
+    def __call__(self, points):
+        """Detect over a full scene.
+
+        Args:
+            points: (N, C) numpy cloud in scene coordinates (feature
+                columns as configured for the model).
+        Returns:
+            list of {'bbox', 'label', 'score'} dicts in scene coordinates.
+        """
+        points = np.asarray(points, np.float32)
+        lo = points[:, :3].min(axis=0)
+        hi = points[:, :3].max(axis=0)
+
+        xs = self._tile_origins(lo[0], hi[0], self.tile_x, self.overlap)
+        ys = self._tile_origins(lo[1], hi[1], self.tile_y, self.overlap)
+
+        max_pts = int(self.model.tpu_cfg["max_points_static"])
+        max_gt = int(self.model.tpu_cfg["max_gt_static"])
+        pcr = np.asarray(self.model.point_cloud_range)
+
+        tiles = [(x0, y0) for x0 in xs for y0 in ys]
+        all_boxes, all_scores, all_labels = [], [], []
+
+        for i in range(0, len(tiles), self.batch_tiles):
+            chunk = tiles[i:i + self.batch_tiles]
+            pad = self.batch_tiles - len(chunk)
+            chunk = chunk + [chunk[-1]] * pad
+
+            batch_pts = np.zeros((self.batch_tiles, max_pts,
+                                  points.shape[1]), np.float32)
+            batch_n = np.zeros((self.batch_tiles,), np.int32)
+            for j, (x0, y0) in enumerate(chunk):
+                shift = np.array([x0, y0, lo[2]], np.float32)
+                local = points.copy()
+                local[:, :3] -= shift
+                sel = np.all(
+                    (local[:, :3] >= pcr[:3]) & (local[:, :3] < pcr[3:]),
+                    axis=1)
+                local = local[sel]
+                if local.shape[0] > max_pts:
+                    idx = np.random.default_rng(0).choice(
+                        local.shape[0], max_pts, replace=False)
+                    local = local[idx]
+                batch_pts[j, :local.shape[0]] = local
+                batch_n[j] = local.shape[0]
+
+            batch = {
+                "points": jnp.asarray(batch_pts),
+                "num_points": jnp.asarray(batch_n),
+                "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
+                                    jnp.float32),
+                "labels": jnp.zeros((self.batch_tiles, max_gt), jnp.int32),
+                "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
+            }
+            preds = self._predict(self.variables, batch)
+            bbox = np.asarray(preds["bbox"])
+            score = np.asarray(preds["score"])
+            label = np.asarray(preds["label"])
+            valid = np.asarray(preds["valid"])
+            for j, (x0, y0) in enumerate(chunk[:len(chunk) - pad]):
+                v = valid[j]
+                b = bbox[j][v].copy()
+                b[:, 0] += x0
+                b[:, 1] += y0
+                b[:, 2] += lo[2]
+                all_boxes.append(b)
+                all_scores.append(score[j][v])
+                all_labels.append(label[j][v])
+
+        if not all_boxes or sum(len(b) for b in all_boxes) == 0:
+            return []
+        boxes = np.concatenate(all_boxes)[: self.max_merge_boxes]
+        scores = np.concatenate(all_scores)[: self.max_merge_boxes]
+        labels = np.concatenate(all_labels)[: self.max_merge_boxes]
+
+        n = self.max_merge_boxes
+        pb = np.zeros((n, 9), np.float32)
+        pb[:len(boxes)] = boxes
+        ps = np.zeros((n,), np.float32)
+        ps[:len(scores)] = scores
+        pl = np.zeros((n,), np.int32)
+        pl[:len(labels)] = labels
+        pv = np.arange(n) < len(boxes)
+
+        keep = np.asarray(self._merge(
+            jnp.asarray(pb), jnp.asarray(ps), jnp.asarray(pl),
+            jnp.asarray(pv)))[:len(boxes)]
+
+        return [{"bbox": boxes[k], "label": int(labels[k]),
+                 "score": float(scores[k])}
+                for k in np.where(keep)[0]]

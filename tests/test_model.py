@@ -103,3 +103,27 @@ def test_batch_stats_updated(model_and_vars):
     changed = any(not np.allclose(np.asarray(a), np.asarray(b))
                   for a, b in zip(old, new))
     assert changed
+
+
+def test_dense_backbone_path():
+    """The bypassed-in-reference dense SECOND backbone + FPN neck is a
+    usable routing option here."""
+    cfg = tiny_model_cfg()
+    cfg["use_dense_backbone"] = True
+    cfg["backbone"] = dict(in_channels=16, out_channels=[16, 24, 32],
+                           layer_nums=[1, 1, 1], layer_strides=[2, 2, 2])
+    cfg["neck"] = dict(in_channels=[16, 24, 32], out_channels=[16, 16, 16],
+                       upsample_strides=[1, 2, 4])
+    model = PointPillars(**cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    batch = to_device(tiny_batch(batch_size=1))
+    (cls, reg, dirs), _ = model.apply(variables, batch, train=False)
+    # strides 2,2,2 with final upsample 4 -> featmap H/2 x W/2
+    assert cls.shape == (1, 8, 8, model.num_anchors * 1)
+    assert model.featmap == (8, 8)
+    losses = model.loss((cls, reg, dirs), batch)
+    assert all(np.isfinite(float(v)) for v in losses.values())
+    predict = model.make_predict_fn()
+    out = predict({"params": variables["params"],
+                   "batch_stats": variables["batch_stats"]}, batch)
+    assert np.all(np.isfinite(np.asarray(out["score"])))
