@@ -46,7 +46,8 @@ def _upper_bound_rows(gt_lo, gt_hi, gt_vol, an_lo, an_hi, an_vol):
 @partial(jax.jit,
          static_argnames=("candidates_per_gt", "gt_chunk", "num_classes"))
 def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
-                   candidates_per_gt=512, gt_chunk=16, num_classes=1):
+                   candidates_per_gt=512, gt_chunk=16, num_classes=1,
+                   anchor_aabb=None):
     """Assign GT boxes to anchors for one point cloud.
 
     Matching rules follow reference model/PointPillars.py:964-978:
@@ -73,7 +74,12 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     g = gt_boxes.shape[0]
     k = min(candidates_per_gt, n)
 
-    an_lo, an_hi, an_vol = _aabb_and_volume(anchors)
+    if anchor_aabb is None:
+        an_lo, an_hi, an_vol = _aabb_and_volume(anchors)
+    else:
+        # anchors are trace-time constants; callers precompute their AABBs
+        # once instead of re-deriving 1.9M corner sets every step
+        an_lo, an_hi, an_vol = anchor_aabb
     gt_lo, gt_hi, gt_vol = _aabb_and_volume(gt_boxes)
 
     # --- stage 1: top-K candidates per GT by the upper bound -------------

@@ -126,6 +126,9 @@ class PointPillars(BaseModel):
             self.featmap = (h, w)
         self.anchors = jnp.asarray(
             self.anchor_generator.flat_anchors(self.featmap))
+        from objectdetection_3d_tpu.models.assign import _aabb_and_volume
+        self.anchor_aabb = tuple(
+            jnp.asarray(a) for a in _aabb_and_volume(self.anchors))
         self.bbox_coder = BBoxCoder()
 
         self.net = PointPillarsNet(
@@ -233,7 +236,8 @@ class PointPillars(BaseModel):
                 pos_thr=self.iou_thr[0][1], neg_thr=self.iou_thr[0][0],
                 candidates_per_gt=int(
                     self.tpu_cfg["assign_candidates_per_gt"]),
-                num_classes=self.num_classes)
+                num_classes=self.num_classes,
+                anchor_aabb=self.anchor_aabb)
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
         pos = assign["pos_mask"].reshape(-1)

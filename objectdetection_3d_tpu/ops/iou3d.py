@@ -104,13 +104,18 @@ def _clip_by_plane(vx, vy, vz, cnt, nx, ny, nz, off):
     return new_vx, new_vy, new_vz, new_cnt
 
 
-def _clipped_volume(faces, normals, offsets):
+def _clipped_volume(faces, normals, offsets, unroll=False):
     """Signed volume bounded by quad faces clipped into a half-space set.
 
     Args:
-        faces: (F=6, 4, 3, *fbatch) outward-wound quads.
+        faces: (F, 4, 3, *fbatch) outward-wound quads.
         normals: (6, 3, *pbatch), offsets: (6, *pbatch) half-spaces; fbatch
-            and pbatch must broadcast to a common *batch.
+            and pbatch must broadcast to a common *batch.  An extra leading
+            axis on pbatch may line up with a poly-group split of F (see
+            ``intersection_volume_3d``).
+        unroll: python-unroll the 6 clips instead of `lax.scan` (scan keeps
+            the HLO ~6x smaller, which matters for compile time at the
+            large pair counts the NMS/assign paths use).
     Returns:
         (*batch,) volume contribution.
     """
@@ -124,11 +129,30 @@ def _clipped_volume(faces, normals, offsets):
         [faces[:, :, 2], jnp.zeros(pad_shape, faces.dtype)], axis=1)
     cnt = jnp.full((f,) + faces.shape[3:], 4, jnp.int32)
 
-    for jdx in range(6):
-        vx, vy, vz, cnt = _clip_by_plane(
-            vx, vy, vz, cnt,
-            normals[jdx, 0], normals[jdx, 1], normals[jdx, 2],
-            offsets[jdx])
+    if unroll:
+        for jdx in range(6):
+            vx, vy, vz, cnt = _clip_by_plane(
+                vx, vy, vz, cnt,
+                normals[jdx, 0], normals[jdx, 1], normals[jdx, 2],
+                offsets[jdx])
+    else:
+        # broadcast state up-front so the scan carry has a fixed shape
+        shape = jnp.broadcast_shapes(
+            vx.shape, (1, 1) + normals.shape[2:])
+        cshape = shape[:1] + shape[2:]
+        vx = jnp.broadcast_to(vx, shape)
+        vy = jnp.broadcast_to(vy, shape)
+        vz = jnp.broadcast_to(vz, shape)
+        cnt = jnp.broadcast_to(cnt, cshape)
+
+        def body(carry, plane):
+            cvx, cvy, cvz, ccnt = carry
+            n, off = plane
+            return _clip_by_plane(cvx, cvy, cvz, ccnt,
+                                  n[0], n[1], n[2], off), None
+
+        (vx, vy, vz, cnt), _ = jax.lax.scan(
+            body, (vx, vy, vz, cnt), (normals, offsets))
 
     # divergence-theorem fan: sum det(v0, vi, vi+1)/6 over valid triangles
     m = _MAX_VERTS
