@@ -95,6 +95,12 @@ DEFAULT_TPU_CFG = {
     "max_detections": 256,
     # conv/matmul compute dtype ("float32" or "bfloat16")
     "compute_dtype": "float32",
+    # run the vertical encoder on the sparse active set (gather-based)
+    # instead of the dense masked grid; identical numerics, ~100x fewer
+    # FLOPs at forest occupancies
+    "sparse_middle": False,
+    # active-site budget per sparse stage (0 -> max_voxels_static)
+    "sparse_budget": 0,
     # rematerialize each encoder stage in the backward pass
     "remat": True,
 }

@@ -151,6 +151,8 @@ class PointPillars(BaseModel):
                 int(v) for v in neck.get("out_channels", [])),
             neck_upsample_strides=tuple(
                 int(v) for v in neck.get("upsample_strides", [])),
+            sparse_middle=bool(self.tpu_cfg.get("sparse_middle", False)),
+            sparse_budget=int(self.tpu_cfg.get("sparse_budget", 0)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),
@@ -216,28 +218,35 @@ class PointPillars(BaseModel):
     # ------------------------------------------------------------------
     # loss
     # ------------------------------------------------------------------
-    def loss(self, results, inputs):
+    def loss(self, results, inputs, anchors=None, anchor_aabb=None):
         """Training losses (reference model/PointPillars.py:147-226).
 
         Args:
             results: (cls, reg, dirs) head outputs.
             inputs: batch dict with 'bboxes' (B,G,9), 'labels' (B,G),
                 'gt_mask' (B,G).
+            anchors / anchor_aabb: pass these as jit ARGUMENTS in jitted
+                callers — baking the 1.9M-anchor constant into the program
+                balloons compile time badly.
         Returns:
             dict of scalar losses.
         """
         cls, reg, dirs = results
         b = cls.shape[0]
         c = max(self.num_classes, 1)
+        if anchors is None:
+            anchors = self.anchors
+        if anchor_aabb is None:
+            anchor_aabb = self.anchor_aabb
 
         assign = jax.vmap(
             lambda gt, lbl, msk: assign_targets(
-                self.anchors, gt, lbl, msk,
+                anchors, gt, lbl, msk,
                 pos_thr=self.iou_thr[0][1], neg_thr=self.iou_thr[0][0],
                 candidates_per_gt=int(
                     self.tpu_cfg["assign_candidates_per_gt"]),
                 num_classes=self.num_classes,
-                anchor_aabb=self.anchor_aabb)
+                anchor_aabb=anchor_aabb)
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
         pos = assign["pos_mask"].reshape(-1)
@@ -307,12 +316,12 @@ class PointPillars(BaseModel):
         state = {'params', 'batch_stats', 'opt_state'}.
         """
 
-        def step(state, batch):
+        def step(state, batch, anchors, anchor_aabb):
             def loss_closure(params):
                 variables = {"params": params,
                              "batch_stats": state["batch_stats"]}
                 outs, new_bs = self.apply(variables, batch, train=True)
-                losses = self.loss(outs, batch)
+                losses = self.loss(outs, batch, anchors, anchor_aabb)
                 total = sum(losses.values())
                 return total, (losses, new_bs)
 
@@ -325,16 +334,21 @@ class PointPillars(BaseModel):
                          "opt_state": new_opt}
             return new_state, losses
 
-        return jax.jit(step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        def run(state, batch):
+            return jitted(state, batch, self.anchors, self.anchor_aabb)
+
+        return run
 
     # ------------------------------------------------------------------
     # inference
     # ------------------------------------------------------------------
-    def _predict_single(self, cls, reg, dirs):
+    def _predict_single(self, cls, reg, dirs, anchors):
         """Decode + NMS for one item (reference get_bboxes_single,
         model/PointPillars.py:1025-1094), static shapes throughout."""
         c = max(self.num_classes, 1)
-        n_a = self.anchors.shape[0]
+        n_a = anchors.shape[0]
         nms_pre = min(int(self.head_cfg.get("nms_pre", 100)), n_a)
         score_thr = float(self.head_cfg.get("score_thr", 0.1))
         nms_thresh = float(self.head_cfg.get("nms_thresh", 0.7))
@@ -347,7 +361,7 @@ class PointPillars(BaseModel):
 
         top_scores, top_idx = jax.lax.top_k(
             jnp.max(scores, axis=-1), nms_pre)
-        anchors_sel = self.anchors[top_idx]
+        anchors_sel = anchors[top_idx]
         deltas_sel = reg.reshape(-1, self.box_params_num)[top_idx]
         boxes = self.bbox_coder.decode(anchors_sel, deltas_sel)
         scores_sel = scores[top_idx]
@@ -374,27 +388,44 @@ class PointPillars(BaseModel):
             "valid": sel_scores > 0,
         }
 
-    def predict(self, variables, batch):
+    def predict(self, variables, batch, anchors=None):
         """Batched jit-friendly inference: forward + decode + NMS."""
+        if anchors is None:
+            anchors = self.anchors
         outs, _ = self.apply(variables, batch, train=False)
         cls, reg, dirs = outs
-        return jax.vmap(self._predict_single)(cls, reg, dirs)
+        return jax.vmap(self._predict_single,
+                        in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
 
     def make_predict_fn(self):
-        return jax.jit(lambda variables, batch: self.predict(variables,
-                                                             batch))
+        jitted = jax.jit(
+            lambda variables, batch, anchors: self.predict(
+                variables, batch, anchors))
+
+        def run(variables, batch):
+            return jitted(variables, batch, self.anchors)
+
+        return run
 
     def make_eval_fn(self):
         """Jitted single-forward eval: losses + decoded detections."""
 
-        def eval_step(variables, batch):
+        def eval_step(variables, batch, anchors, anchor_aabb):
             outs, _ = self.apply(variables, batch, train=False)
-            losses = self.loss(outs, batch)
+            losses = self.loss(outs, batch, anchors, anchor_aabb)
             cls, reg, dirs = outs
-            preds = jax.vmap(self._predict_single)(cls, reg, dirs)
+            preds = jax.vmap(self._predict_single,
+                             in_axes=(0, 0, 0, None))(cls, reg, dirs,
+                                                      anchors)
             return losses, preds
 
-        return jax.jit(eval_step)
+        jitted = jax.jit(eval_step)
+
+        def run(variables, batch):
+            return jitted(variables, batch, self.anchors,
+                          self.anchor_aabb)
+
+        return run
 
     def inference_end(self, results):
         """Unpad device predictions into per-cloud lists of detection dicts

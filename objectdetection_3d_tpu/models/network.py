@@ -9,6 +9,7 @@ over a static (B, D, H, W) grid.
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -20,6 +21,10 @@ from objectdetection_3d_tpu.models.layers import (
     SparseMiddleExtractor,
     SubmanifoldSparseRPN,
 )
+from objectdetection_3d_tpu.models.sparse_middle import (
+    SparseMiddleExtractorGather,
+)
+from objectdetection_3d_tpu.ops.sparse_conv import flatten_cells
 
 
 class PointPillarsNet(nn.Module):
@@ -44,6 +49,10 @@ class PointPillarsNet(nn.Module):
     backbone_strides: tuple = (2, 2, 2)
     neck_channels: tuple = ()
     neck_upsample_strides: tuple = ()
+    # execute the vertical encoder on the sparse active set (gather-based)
+    # instead of the dense masked grid; numerics are identical
+    sparse_middle: bool = False
+    sparse_budget: int = 0
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -72,26 +81,42 @@ class PointPillarsNet(nn.Module):
             name="voxel_encoder",
         )(fv, fn, fc, fm, train)
 
-        # scatter voxel features onto the dense (z, y, x) grid; padding
-        # voxels are routed out of bounds and dropped.  The grid is the
-        # largest activation — keep it in the compute dtype.
         feats = feats.astype(self.dtype)
-        cf = feats.shape[-1]
-        bi = jnp.repeat(jnp.arange(b), v)
-        zi = jnp.where(fm, fc[:, 0], d)
-        yi = jnp.where(fm, fc[:, 1], h)
-        xi = jnp.where(fm, fc[:, 2], w)
-        grid = jnp.zeros((b, d, h, w, cf), feats.dtype).at[
-            bi, zi, yi, xi].set(feats, mode="drop")
-        mask = jnp.zeros((b, d, h, w, 1), feats.dtype).at[
-            bi, zi, yi, xi].set(1.0, mode="drop")
+        if self.sparse_middle:
+            # keep the active set sparse end-to-end: the voxelizer emits
+            # cells sorted by (x, y, z)-major flat id, which is exactly the
+            # order the gather-based encoder's binary search needs
+            fb = feats.reshape(b, v, -1)
+            cell_flat = jax.vmap(
+                lambda cc: flatten_cells(cc, (d, h, w)))(coords)
+            pseudo = SparseMiddleExtractorGather(
+                in_channels=self.middle_in_channels,
+                out_channels=self.middle_channels,
+                grid=(d, h, w),
+                budget=self.sparse_budget or v,
+                dtype=self.dtype,
+                name="pseudoimage_generator",
+            )(fb, coords, cell_flat, voxel_mask, train)
+        else:
+            # scatter voxel features onto the dense (z, y, x) grid; padding
+            # voxels are routed out of bounds and dropped.  The grid is the
+            # largest activation — keep it in the compute dtype.
+            cf = feats.shape[-1]
+            bi = jnp.repeat(jnp.arange(b), v)
+            zi = jnp.where(fm, fc[:, 0], d)
+            yi = jnp.where(fm, fc[:, 1], h)
+            xi = jnp.where(fm, fc[:, 2], w)
+            grid = jnp.zeros((b, d, h, w, cf), feats.dtype).at[
+                bi, zi, yi, xi].set(feats, mode="drop")
+            mask = jnp.zeros((b, d, h, w, 1), feats.dtype).at[
+                bi, zi, yi, xi].set(1.0, mode="drop")
 
-        pseudo, _ = SparseMiddleExtractor(
-            in_channels=self.middle_in_channels,
-            out_channels=self.middle_channels,
-            dtype=self.dtype,
-            name="pseudoimage_generator",
-        )(grid, mask, train)
+            pseudo, _ = SparseMiddleExtractor(
+                in_channels=self.middle_in_channels,
+                out_channels=self.middle_channels,
+                dtype=self.dtype,
+                name="pseudoimage_generator",
+            )(grid, mask, train)
 
         if self.use_dense_backbone:
             feats_ms = BackboneDWS(

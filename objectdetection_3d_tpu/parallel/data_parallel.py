@@ -48,14 +48,14 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
 
-    def step(state, batch):
+    def step(state, batch, anchors, anchor_aabb):
         import optax
 
         def loss_closure(params):
             variables = {"params": params,
                          "batch_stats": state["batch_stats"]}
             outs, new_bs = model.apply(variables, batch, train=True)
-            losses = model.loss(outs, batch)
+            losses = model.loss(outs, batch, anchors, anchor_aabb)
             total = sum(losses.values())
             return total, (losses, new_bs)
 
@@ -67,12 +67,18 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
         return ({"params": new_params, "batch_stats": new_bs,
                  "opt_state": new_opt}, losses)
 
-    return jax.jit(
+    jitted = jax.jit(
         step,
-        in_shardings=(repl, bsh),
+        in_shardings=(repl, bsh, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate else (),
     )
+
+    def run(state, batch):
+        # anchors ride as replicated arguments, not baked-in constants
+        return jitted(state, batch, model.anchors, model.anchor_aabb)
+
+    return run
 
 
 def make_sharded_predict_fn(model, mesh, axis_name="data"):
@@ -81,7 +87,13 @@ def make_sharded_predict_fn(model, mesh, axis_name="data"):
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
 
-    def predict(variables, batch):
-        return model.predict(variables, batch)
+    def predict(variables, batch, anchors):
+        return model.predict(variables, batch, anchors)
 
-    return jax.jit(predict, in_shardings=(repl, bsh), out_shardings=bsh)
+    jitted = jax.jit(predict, in_shardings=(repl, bsh, repl),
+                     out_shardings=bsh)
+
+    def run(variables, batch):
+        return jitted(variables, batch, model.anchors)
+
+    return run
