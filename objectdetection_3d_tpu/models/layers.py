@@ -219,18 +219,28 @@ class SparseMiddleExtractor(nn.Module):
     in_channels: int
     out_channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    decompose_convs: bool = False
 
     def _subm_conv3d(self, x, ch, name):
-        """3x3x3 conv as three z-shifted 3x3 2D convs (identical math).
+        """3x3x3 SAME conv.
 
-        XLA's TPU 3D conv path is ~2x slower than batched 2D convs at these
-        channel widths; ``out[d] = sum_dz conv2d(x[d+dz], W[dz])``.
+        Two equivalent lowerings behind ``decompose_convs``: the native XLA
+        3D conv (default — fuses best in the full program) or three
+        z-shifted 2D convs (faster in isolation at small channel widths).
+        Parameter name/shape are identical either way.
         """
         b, d, h, w, c = x.shape
         kernel = self.param(
             name,
             nn.initializers.lecun_normal(),
             (3, 3, 3, c, ch))
+        if not self.decompose_convs:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+            return y.astype(x.dtype)
+
         flat = x.reshape(b * d, h, w, c)
         zero = jnp.zeros((b, 1, h, w, ch), x.dtype)
 
@@ -249,13 +259,20 @@ class SparseMiddleExtractor(nn.Module):
                 + jnp.concatenate([y2[:, 1:], zero], axis=1))
 
     def _down_conv_z(self, x, ch, name):
-        """(3,1,1)-kernel (2,1,1)-stride VALID conv as a z-gathered einsum."""
+        """(3,1,1)-kernel (2,1,1)-stride VALID conv over z."""
         b, d, h, w, c = x.shape
         d_out = (d - 3) // 2 + 1
         kernel = self.param(
             name,
             nn.initializers.lecun_normal(),
             (3, c, ch))
+        if not self.decompose_convs:
+            y = jax.lax.conv_general_dilated(
+                x, kernel.reshape(3, 1, 1, c, ch).astype(x.dtype),
+                (2, 1, 1), "VALID",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+                preferred_element_type=jnp.float32)
+            return y.astype(x.dtype)
         slices = jnp.stack(
             [jax.lax.slice_in_dim(x, k, k + 2 * (d_out - 1) + 1, 2, axis=1)
              for k in range(3)], axis=2)  # (B, D', 3, H, W, C)

@@ -106,10 +106,16 @@ class PointPillarsNet(nn.Module):
             zi = jnp.where(fm, fc[:, 0], d)
             yi = jnp.where(fm, fc[:, 1], h)
             xi = jnp.where(fm, fc[:, 2], w)
+            # voxel cells arrive sorted in (z, y, x) raster order — exactly
+            # this grid's memory layout, so the scatter indices are sorted
             grid = jnp.zeros((b, d, h, w, cf), feats.dtype).at[
-                bi, zi, yi, xi].set(feats, mode="drop")
+                bi, zi, yi, xi].set(feats, mode="drop",
+                                    unique_indices=True,
+                                    indices_are_sorted=True)
             mask = jnp.zeros((b, d, h, w, 1), feats.dtype).at[
-                bi, zi, yi, xi].set(1.0, mode="drop")
+                bi, zi, yi, xi].set(1.0, mode="drop",
+                                    unique_indices=True,
+                                    indices_are_sorted=True)
 
             pseudo, _ = SparseMiddleExtractor(
                 in_channels=self.middle_in_channels,

@@ -26,12 +26,12 @@ import jax.numpy as jnp
 
 
 def flatten_cells(coords, grid_dhw):
-    """(V, 3) int (z, y, x) -> flat ids in (x, y, z)-major raster order
+    """(V, 3) int (z, y, x) -> flat ids in (z, y, x)-major raster order
     (the voxelizer's sort order), sentinel for invalid rows."""
     d, h, w = grid_dhw
     sentinel = jnp.int32(w * h * d)
     valid = coords[:, 0] >= 0
-    flat = ((coords[:, 2] * h + coords[:, 1]) * d + coords[:, 0])
+    flat = ((coords[:, 0] * h + coords[:, 1]) * w + coords[:, 2])
     return jnp.where(valid, flat, sentinel).astype(jnp.int32)
 
 
@@ -80,7 +80,7 @@ def subm_conv3d_sparse(feats, coords, cell_flat, active_mask, kernel,
                       & (zz >= 0) & (zz < d)
                       & (yy >= 0) & (yy < h)
                       & (xx >= 0) & (xx < w))
-                q = jnp.where(ok, (xx * h + yy) * d + zz, sentinel)
+                q = jnp.where(ok, (zz * h + yy) * w + xx, sentinel)
                 idx, found = _neighbor_lookup(cell_flat, q)
                 f = feats[idx] * found[:, None].astype(feats.dtype)
                 gathered.append(f)
@@ -114,7 +114,7 @@ def downsample_z_active_set(coords, active_mask, grid_dhw, out_budget):
         zo = z - k
         ok = active_mask & (zo >= 0) & (zo % 2 == 0) & (zo // 2 < d_out)
         zp = zo // 2
-        cands.append(jnp.where(ok, (x * h + y) * d_out + zp, sentinel))
+        cands.append(jnp.where(ok, (zp * h + y) * w + x, sentinel))
     cand = jnp.concatenate(cands)                        # (3V,)
     cand_sorted = jnp.sort(cand)
     first = jnp.concatenate(
@@ -123,14 +123,18 @@ def downsample_z_active_set(coords, active_mask, grid_dhw, out_budget):
     # compact the unique ids to the front with a second key sort
     rank = jnp.where(first, jnp.cumsum(first) - 1, 3 * coords.shape[0])
     order = jnp.argsort(rank)
-    uniq = cand_sorted[order][:out_budget]
+    take = min(out_budget, cand.shape[0])
+    uniq = cand_sorted[order][:take]
+    if take < out_budget:  # fewer candidates than budget: pad with sentinel
+        uniq = jnp.concatenate(
+            [uniq, jnp.full((out_budget - take,), sentinel, uniq.dtype)])
     n_out = jnp.minimum(jnp.sum(first), out_budget)
     mask = jnp.arange(out_budget) < n_out
     uniq = jnp.where(mask, uniq, sentinel)
 
-    zo = uniq % d_out
-    yo = (uniq // d_out) % h
-    xo = uniq // (d_out * h)
+    xo = uniq % w
+    yo = (uniq // w) % h
+    zo = uniq // (w * h)
     out_coords = jnp.where(
         mask[:, None],
         jnp.stack([zo, yo, xo], axis=-1), -1).astype(jnp.int32)
@@ -162,7 +166,7 @@ def strided_z_conv_sparse(feats, in_cell_flat, out_coords, out_cell_flat,
     for k in range(3):
         zi = 2 * zp + k
         ok = out_mask & (zi >= 0) & (zi < d)
-        q = jnp.where(ok, (x * h + y) * d + zi, sentinel)
+        q = jnp.where(ok, (zi * h + y) * w + x, sentinel)
         idx, found = _neighbor_lookup(in_cell_flat, q)
         gathered.append(feats[idx] * found[:, None].astype(feats.dtype))
 

@@ -90,10 +90,11 @@ def voxelize(
         (cell3 >= 0) & (cell3 < jnp.asarray(grid, jnp.int32)), axis=-1)
     ok = valid & in_range
 
-    # flat cell id in (x, y, z) raster order like the reference's
-    # coor_to_voxelidx grid (ops/ops_numba.py:151); sentinel sorts last
+    # flat cell id in (z, y, x) raster order — the dense grid's memory
+    # layout, so the pseudo-image scatter downstream sees SORTED indices
+    # (TPU scatters with indices_are_sorted are radically faster)
     sentinel = jnp.int32(grid[0] * grid[1] * grid[2])
-    cell = (cell3[:, 0] * grid[1] + cell3[:, 1]) * grid[2] + cell3[:, 2]
+    cell = (cell3[:, 2] * grid[1] + cell3[:, 1]) * grid[0] + cell3[:, 0]
     cell = jnp.where(ok, cell, sentinel)
 
     if reflectance_sampling:
