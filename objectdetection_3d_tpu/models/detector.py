@@ -54,6 +54,7 @@ class PointPillars(BaseModel):
                  loss=None,
                  tpu=None,
                  use_dense_backbone=False,
+                 device_augment=None,
                  **kwargs):
         super().__init__(name=name,
                          point_cloud_range=list(point_cloud_range),
@@ -157,6 +158,9 @@ class PointPillars(BaseModel):
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),
                                             seed=self.rng)
+        from objectdetection_3d_tpu.augment.device_ops import (
+            parse_device_augment_cfg)
+        self.device_augment = parse_device_augment_cfg(device_augment)
 
         self.loss_cls = FocalLoss(**dict(loss.get("focal", {})))
         self.loss_bbox = SmoothL1Loss(**dict(loss.get("smooth_l1", {})))
@@ -316,7 +320,15 @@ class PointPillars(BaseModel):
         state = {'params', 'batch_stats', 'opt_state'}.
         """
 
+        device_augment = self.device_augment
+
         def step(state, batch, anchors, anchor_aabb):
+            if device_augment:
+                from objectdetection_3d_tpu.augment.device_ops import (
+                    augment_batch)
+                rng, sub = jax.random.split(state["rng"])
+                batch = augment_batch(batch, sub, device_augment)
+
             def loss_closure(params):
                 variables = {"params": params,
                              "batch_stats": state["batch_stats"]}
@@ -332,6 +344,8 @@ class PointPillars(BaseModel):
             new_params = optax.apply_updates(state["params"], updates)
             new_state = {"params": new_params, "batch_stats": new_bs,
                          "opt_state": new_opt}
+            if device_augment:
+                new_state["rng"] = rng
             return new_state, losses
 
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())

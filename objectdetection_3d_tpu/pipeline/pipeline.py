@@ -133,6 +133,9 @@ class ObjectDetection(BasePipeline):
         self.state = {"params": variables["params"],
                       "batch_stats": variables["batch_stats"],
                       "opt_state": opt_state}
+        if getattr(self.model, "device_augment", ()):
+            self.state["rng"] = jax.random.PRNGKey(
+                int(self.rng.integers(np.iinfo(np.int32).max)))
 
     def _variables(self):
         return {"params": self.state["params"],

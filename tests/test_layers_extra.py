@@ -95,3 +95,54 @@ def test_masked_batch_norm_matches_torch_semantics():
     np.testing.assert_allclose(
         np.asarray(mutated["batch_stats"]["var"]),
         tbn.running_var.numpy(), atol=1e-4)
+
+
+def test_device_augmentation_consistency():
+    """Rotating/scaling/flipping on device keeps points inside their GT
+    boxes (points and boxes transform together)."""
+    from objectdetection_3d_tpu.augment.device_ops import (
+        augment_batch, parse_device_augment_cfg)
+    from objectdetection_3d_tpu.ops.boxes import points_in_boxes
+
+    rng = np.random.default_rng(0)
+    b, p, g = 2, 256, 2
+    boxes = np.zeros((b, g, 9), np.float32)
+    points = np.zeros((b, p, 4), np.float32)
+    for i in range(b):
+        for j in range(g):
+            c = rng.uniform(2, 6, 2)
+            boxes[i, j] = [c[0], c[1], 0.0, 1.0, 1.0, 2.0, 0, 0,
+                           rng.uniform(-3, 3)]
+            k = p // g
+            local = rng.uniform([-0.45, -0.45, 0.05],
+                                [0.45, 0.45, 1.95], (k, 3))
+            yaw = boxes[i, j, 8]
+            rot = np.array([[np.cos(yaw), -np.sin(yaw), 0],
+                            [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]])
+            pts = local @ rot.T + [c[0], c[1], 0.0]
+            points[i, j * k:(j + 1) * k, :3] = pts
+            points[i, j * k:(j + 1) * k, 3] = rng.uniform(0, 1, k)
+
+    batch = {
+        "points": jnp.asarray(points),
+        "num_points": jnp.full((b,), p, jnp.int32),
+        "bboxes": jnp.asarray(boxes),
+        "labels": jnp.zeros((b, g), jnp.int32),
+        "gt_mask": jnp.ones((b, g), bool),
+    }
+    cfg = parse_device_augment_cfg({
+        "rotate": {"min": 0.0, "max": 6.283}, "scale": {},
+        "flip_x": True, "flip_y": True, "translate": {"std": 0.5}})
+    out = augment_batch(batch, jax.random.PRNGKey(3), cfg)
+
+    for i in range(b):
+        inside_before = np.asarray(points_in_boxes(
+            jnp.asarray(points[i]), jnp.asarray(boxes[i]))).any(-1).mean()
+        inside_after = np.asarray(points_in_boxes(
+            out["points"][i], out["bboxes"][i])).any(-1).mean()
+        # membership is preserved (tiny boundary tolerance)
+        assert inside_after >= inside_before - 0.02, (inside_before,
+                                                      inside_after)
+    # shapes unchanged and padding intact
+    assert out["points"].shape == batch["points"].shape
+    assert out["bboxes"].shape == batch["bboxes"].shape

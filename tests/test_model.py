@@ -127,3 +127,26 @@ def test_dense_backbone_path():
     out = predict({"params": variables["params"],
                    "batch_stats": variables["batch_stats"]}, batch)
     assert np.all(np.isfinite(np.asarray(out["score"])))
+
+
+def test_train_step_with_device_augment():
+    cfg = tiny_model_cfg()
+    cfg["device_augment"] = {"rotate": {"min": 0.0, "max": 6.283},
+                             "flip_x": True}
+    model = PointPillars(**cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    batch = to_device(tiny_batch(batch_size=2))
+    tx = model.get_optimizer(dict(lr=3e-3, betas=[0.95, 0.99],
+                                  weight_decay=0.01), grad_clip_value=2.0)
+    step = model.make_train_step(tx, donate=False)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": tx.init(variables["params"]),
+             "rng": jax.random.PRNGKey(7)}
+    s1, l1 = step(state, batch)
+    s2, l2 = step(s1, batch)
+    for k in l1:
+        assert np.isfinite(float(l1[k])) and np.isfinite(float(l2[k]))
+    # augmentation key advances so consecutive steps see different views
+    assert not np.array_equal(np.asarray(state["rng"]),
+                              np.asarray(s1["rng"]))
