@@ -369,17 +369,17 @@ class PointPillars(BaseModel):
         dir_offset = float(self.head_cfg.get("dir_offset", 0.0))
         max_det = min(int(self.tpu_cfg["max_detections"]), nms_pre * c)
 
-        scores = jax.nn.sigmoid(cls.reshape(-1, c))
-        dirs_flat = dirs.reshape(-1, 3, 2)
-        dir_bins = jnp.argmax(dirs_flat, axis=-1)  # (N_a, 3)
-
-        top_scores, top_idx = jax.lax.top_k(
-            jnp.max(scores, axis=-1), nms_pre)
+        # top-k runs on raw logits (sigmoid is monotone); every other
+        # per-anchor computation happens on the nms_pre survivors only —
+        # no full-size elementwise passes over the 1.9M-anchor tensors
+        logits = cls.reshape(-1, c)
+        _, top_idx = jax.lax.top_k(jnp.max(logits, axis=-1), nms_pre)
         anchors_sel = anchors[top_idx]
         deltas_sel = reg.reshape(-1, self.box_params_num)[top_idx]
         boxes = self.bbox_coder.decode(anchors_sel, deltas_sel)
-        scores_sel = scores[top_idx]
-        bins_sel = dir_bins[top_idx]
+        scores_sel = jax.nn.sigmoid(logits[top_idx])
+        dirs_sel = dirs.reshape(-1, 6)[top_idx]
+        bins_sel = jnp.argmax(dirs_sel.reshape(-1, 3, 2), axis=-1)
 
         keep = multiclass_nms(boxes, scores_sel, score_thr, nms_thresh,
                               nms_dim=self.nms_dim)

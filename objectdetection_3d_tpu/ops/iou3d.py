@@ -262,6 +262,57 @@ def iou3d_aligned(boxes1, boxes2):
     return jnp.where(union > _EPS, inter / jnp.maximum(union, _EPS), 0.0)
 
 
+def obb_intersect(boxes1, boxes2, margin=0.0):
+    """Exact pairwise intersection TEST of rotated 3D boxes (SAT).
+
+    Two convex boxes are disjoint iff one of 15 candidate axes separates
+    them (3 face normals each + 9 edge cross products).  ~250x cheaper than
+    the volume clipper; used by NMS when the threshold is effectively
+    "suppress any overlap" (the active config's nms_thresh=1e-5,
+    config.yaml:62).
+
+    Args:
+        boxes1: (N, 9), boxes2: (K, 9).
+        margin: positive shrinks boxes (stricter), negative expands.
+    Returns:
+        (N, K) bool intersection matrix.
+    """
+    from objectdetection_3d_tpu.ops.boxes import box_axes
+
+    rot1, mid1 = box_axes(boxes1)      # (N, 3, 3) columns = axes
+    rot2, mid2 = box_axes(boxes2)
+    half1 = boxes1[:, 3:6] * 0.5       # (N, 3)
+    half2 = boxes2[:, 3:6] * 0.5
+
+    ax1 = jnp.swapaxes(rot1, -1, -2)   # (N, 3 axes, 3)
+    ax2 = jnp.swapaxes(rot2, -1, -2)   # (K, 3 axes, 3)
+
+    # 15 candidate axes per pair: (N, K, 15, 3)
+    a1 = jnp.broadcast_to(ax1[:, None, :, :], (ax1.shape[0],
+                                               ax2.shape[0], 3, 3))
+    a2 = jnp.broadcast_to(ax2[None, :, :, :], (ax1.shape[0],
+                                               ax2.shape[0], 3, 3))
+    cross = jnp.cross(a1[:, :, :, None, :], a2[:, :, None, :, :])
+    cross = cross.reshape(ax1.shape[0], ax2.shape[0], 9, 3)
+    axes = jnp.concatenate([a1, a2, cross], axis=2)  # (N, K, 15, 3)
+    # degenerate cross products (parallel edges) project everything to 0;
+    # normalize defensively and mask them out of the separation test
+    norm = jnp.linalg.norm(axes, axis=-1, keepdims=True)
+    ok_axis = norm[..., 0] > 1e-6
+    axes = axes / jnp.maximum(norm, 1e-6)
+
+    d = mid2[None, :, :] - mid1[:, None, :]          # (N, K, 3)
+    dist = jnp.abs(jnp.einsum("nkai,nki->nka", axes, d))
+    # projection radii: r = sum_b half_b * |axis . box_axis_b|
+    proj1 = jnp.abs(jnp.einsum("nkai,nbi->nkab", axes, ax1))
+    r1 = jnp.einsum("nkab,nb->nka", proj1, half1)
+    proj2 = jnp.abs(jnp.einsum("nkai,kbi->nkab", axes, ax2))
+    r2 = jnp.einsum("nkab,kb->nka", proj2, half2)
+
+    separated = ok_axis & (dist > r1 + r2 + margin)
+    return ~jnp.any(separated, axis=-1)
+
+
 def iou3d_upper_bound(boxes1, boxes2):
     """Cheap provable upper bound on the exact 3D IoU.
 

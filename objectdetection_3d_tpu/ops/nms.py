@@ -17,25 +17,38 @@ from objectdetection_3d_tpu.ops.boxes import (
 from objectdetection_3d_tpu.ops.iou3d import iou3d
 
 
-def _greedy_keep(iou_sorted, valid_sorted, iou_thr):
+def _greedy_keep(suppress_sorted, valid_sorted):
     """Greedy suppression in score-sorted space.
 
-    Box i is kept iff it is valid and no earlier kept box overlaps it with
-    IoU > ``iou_thr`` — the same keep set as the reference's while-loop
-    (model/utils.py:406-424).
+    Box i is kept iff it is valid and no earlier kept box suppresses it —
+    the same keep set as the reference's while-loop
+    (model/utils.py:406-424).  ``suppress_sorted`` is the boolean
+    pairwise suppression matrix (iou > thr, or exact intersection for the
+    any-overlap threshold).
     """
     n = valid_sorted.shape[0]
     idx = jnp.arange(n)
 
-    def body(i, state):
+    # the recurrence is inherently sequential; unrolling U candidates per
+    # loop step amortizes the per-iteration device overhead (the dominant
+    # cost of tiny loop bodies) without changing the exact greedy result
+    unroll = 10
+    steps = (n + unroll - 1) // unroll
+
+    def body(k, state):
         keep, suppressed = state
-        is_active = valid_sorted[i] & ~suppressed[i]
-        keep = keep.at[i].set(is_active)
-        sup = (iou_sorted[i] > iou_thr) & (idx != i) & is_active
-        return keep, suppressed | sup
+        for u in range(unroll):
+            i = k * unroll + u
+            in_range = i < n
+            i_c = jnp.minimum(i, n - 1)
+            is_active = in_range & valid_sorted[i_c] & ~suppressed[i_c]
+            keep = jnp.where(idx == i_c, is_active, keep)
+            sup = suppress_sorted[i_c] & (idx != i_c) & is_active
+            suppressed = suppressed | sup
+        return keep, suppressed
 
     keep, _ = jax.lax.fori_loop(
-        0, n, body,
+        0, steps, body,
         (jnp.zeros((n,), bool), jnp.zeros((n,), bool)))
     return keep
 
@@ -61,17 +74,27 @@ def multiclass_nms(boxes, scores, score_thr, iou_thr, nms_dim=3,
     if valid_mask is None:
         valid_mask = jnp.ones((n,), bool)
 
-    if nms_dim == 3:
-        iou = iou3d(boxes, boxes, row_chunk=iou_row_chunk)
+    # a threshold this small means "suppress on any overlap": the exact
+    # SAT intersection test gives the same suppression matrix as
+    # iou > thr at a fraction of the clipping cost
+    sat_fast_path = (nms_dim == 3
+                     and isinstance(iou_thr, (int, float))
+                     and iou_thr <= 1e-4)
+    if sat_fast_path:
+        from objectdetection_3d_tpu.ops.iou3d import obb_intersect
+
+        suppress = obb_intersect(boxes, boxes)
+    elif nms_dim == 3:
+        suppress = iou3d(boxes, boxes, row_chunk=iou_row_chunk) > iou_thr
     else:
         env = rotated_corners_2d_envelope(boxes)
-        iou = iou_aabb_2d(env, env)
+        suppress = iou_aabb_2d(env, env) > iou_thr
 
     def one_class(cls_scores):
         valid = (cls_scores > score_thr) & valid_mask
         order = jnp.argsort(-jnp.where(valid, cls_scores, -jnp.inf))
-        iou_s = iou[order][:, order]
-        keep_sorted = _greedy_keep(iou_s, valid[order], iou_thr)
+        sup_s = suppress[order][:, order]
+        keep_sorted = _greedy_keep(sup_s, valid[order])
         return jnp.zeros((n,), bool).at[order].set(keep_sorted)
 
     return jax.vmap(one_class, in_axes=1, out_axes=1)(scores)

@@ -115,3 +115,35 @@ def test_degenerate_boxes_give_zero():
     b = jnp.asarray(random_boxes(3, np.random.default_rng(8)))
     iou = np.asarray(iou3d(a, b))
     np.testing.assert_allclose(iou, 0.0, atol=1e-6)
+
+
+def test_obb_intersect_matches_clipping():
+    from objectdetection_3d_tpu.ops.iou3d import obb_intersect
+
+    rng = np.random.default_rng(11)
+    a = random_boxes(24, rng)
+    b = random_boxes(24, rng)
+    inter = np.asarray(obb_intersect(jnp.asarray(a), jnp.asarray(b)))
+    vols = np.asarray(intersection_volume_3d(jnp.asarray(a),
+                                             jnp.asarray(b)))
+    # agreement away from grazing contact: volume clearly positive -> must
+    # intersect; SAT says disjoint -> volume must be ~0
+    assert np.all(inter[vols > 1e-4])
+    assert np.all(vols[~inter] < 1e-3)
+
+
+def test_obb_intersect_known_cases():
+    from objectdetection_3d_tpu.ops.iou3d import obb_intersect
+
+    a = jnp.asarray([[0.0, 0, 0, 2, 2, 2, 0, 0, 0]])
+    b = jnp.asarray([
+        [1.0, 1, 1, 2, 2, 2, 0, 0, 0],     # overlapping
+        [5.0, 0, 0, 2, 2, 2, 0, 0, 0],     # disjoint
+        [2.5, 2.5, 0, 2, 2, 2, 0, 0, 0.7853981],  # rotated corner near
+    ])
+    got = np.asarray(obb_intersect(a, b))[0]
+    assert bool(got[0]) is True
+    assert bool(got[1]) is False
+    # 45-deg rotated box at (2.5,2.5): its corner reaches (2.5-1.414, ...)
+    # ~ (1.086, 1.086); A spans to (1,1) -> disjoint
+    assert bool(got[2]) is False
