@@ -150,3 +150,24 @@ def test_train_step_with_device_augment():
     # augmentation key advances so consecutive steps see different views
     assert not np.array_equal(np.asarray(state["rng"]),
                               np.asarray(s1["rng"]))
+
+
+def test_multiclass_model():
+    """Two classes flow through assign/loss/predict (the reference's own
+    multi-class indexing would overflow; ours uses a sane anchor-major
+    layout — see models/detector.py docstrings)."""
+    cfg = tiny_model_cfg()
+    cfg["classes"] = ["Tree", "Bush"]
+    model = PointPillars(**cfg)
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    raw = tiny_batch(batch_size=2)
+    raw["labels"][:, 1] = 1  # second GT box is class 1
+    batch = to_device(raw)
+    (cls, reg, dirs), _ = model.apply(variables, batch, train=False)
+    assert cls.shape[-1] == model.num_anchors * 2
+    losses = model.loss((cls, reg, dirs), batch)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+    out = model.make_predict_fn()(variables, batch)
+    labels = np.asarray(out["label"])
+    assert set(np.unique(labels)) <= {0, 1}
