@@ -235,11 +235,9 @@ class SparseMiddleExtractor(nn.Module):
             nn.initializers.lecun_normal(),
             (3, 3, 3, c, ch))
         if not self.decompose_convs:
-            y = jax.lax.conv_general_dilated(
+            return jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32)
-            return y.astype(x.dtype)
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
 
         flat = x.reshape(b * d, h, w, c)
         zero = jnp.zeros((b, 1, h, w, ch), x.dtype)
@@ -247,9 +245,8 @@ class SparseMiddleExtractor(nn.Module):
         def conv2d(k2):
             y = jax.lax.conv_general_dilated(
                 flat, k2.astype(x.dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32)
-            return y.astype(x.dtype).reshape(b, d, h, w, ch)
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.reshape(b, d, h, w, ch)
 
         y0 = conv2d(kernel[0])  # weight for input slice d-1
         y1 = conv2d(kernel[1])
@@ -267,19 +264,15 @@ class SparseMiddleExtractor(nn.Module):
             nn.initializers.lecun_normal(),
             (3, c, ch))
         if not self.decompose_convs:
-            y = jax.lax.conv_general_dilated(
+            return jax.lax.conv_general_dilated(
                 x, kernel.reshape(3, 1, 1, c, ch).astype(x.dtype),
                 (2, 1, 1), "VALID",
-                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-                preferred_element_type=jnp.float32)
-            return y.astype(x.dtype)
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
         slices = jnp.stack(
             [jax.lax.slice_in_dim(x, k, k + 2 * (d_out - 1) + 1, 2, axis=1)
              for k in range(3)], axis=2)  # (B, D', 3, H, W, C)
-        out = jnp.einsum("bdkhwc,kco->bdhwo", slices,
-                         kernel.astype(x.dtype),
-                         preferred_element_type=jnp.float32)
-        return out.astype(x.dtype)
+        return jnp.einsum("bdkhwc,kco->bdhwo", slices,
+                          kernel.astype(x.dtype))
 
     @nn.compact
     def __call__(self, grid, mask, train: bool):
