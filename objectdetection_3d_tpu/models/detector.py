@@ -154,6 +154,7 @@ class PointPillars(BaseModel):
                 int(v) for v in neck.get("upsample_strides", [])),
             sparse_middle=bool(self.tpu_cfg.get("sparse_middle", False)),
             sparse_budget=int(self.tpu_cfg.get("sparse_budget", 0)),
+            remat=bool(self.tpu_cfg.get("remat", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),

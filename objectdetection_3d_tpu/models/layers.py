@@ -279,28 +279,35 @@ class SparseMiddleExtractor(nn.Module):
         """
         Args:
             grid: (B, D, H, W, C) scattered voxel features.
-            mask: (B, D, H, W, 1) activity mask.
+            mask: (B, D, H, W) activity mask — deliberately WITHOUT a
+                trailing channel dim: a (..., 1) buffer lane-pads 128x on
+                TPU (gigabytes at this grid size); the broadcasts below
+                fuse without materializing.
         Returns:
             (B, H, W, C_out * D_final) pseudo-image.
         """
         x = grid.astype(self.dtype)
+        mask = mask.astype(self.dtype)
         for i, ch in enumerate(self.out_channels):
             x = self._subm_conv3d(x, ch, f"subm_{i}_kernel")
-            x = x * mask.astype(x.dtype)
-            x = MaskedBatchNorm(name=f"subm_bn_{i}")(x, mask, train)
+            x = x * mask[..., None]
+            x = MaskedBatchNorm(name=f"subm_bn_{i}")(x, mask[..., None],
+                                                     train)
             x = nn.relu(x)
 
             x = self._down_conv_z(x, ch, f"down_{i}_kernel")
-            mask = nn.max_pool(mask, (3, 1, 1), strides=(2, 1, 1),
-                               padding="VALID")
-            x = MaskedBatchNorm(name=f"down_bn_{i}")(x, mask, train)
+            mask = jax.lax.reduce_window(
+                mask, -jnp.inf, jax.lax.max,
+                (1, 3, 1, 1), (1, 2, 1, 1), "VALID")
+            x = MaskedBatchNorm(name=f"down_bn_{i}")(x, mask[..., None],
+                                                     train)
             x = nn.relu(x)
 
         b, d, h, w, c = x.shape
         # channel layout (C, D) to mirror the reference's
         # view(N, C*D, H, W) of an NCDHW tensor (model/PointPillars.py:571)
         x = jnp.transpose(x, (0, 2, 3, 4, 1)).reshape(b, h, w, c * d)
-        m2d = jnp.max(mask, axis=1)  # (B, H, W, 1) any-z activity
+        m2d = jnp.max(mask, axis=1)  # (B, H, W) any-z activity
         return x, m2d
 
 
@@ -322,20 +329,23 @@ class SubmanifoldSparseRPN(nn.Module):
         """
         Args:
             x: (B, H, W, C) pseudo-image.
-            mask: (B, H, W, 1) nonzero-pixel mask.
+            mask: (B, H, W) nonzero-pixel mask (no channel dim — see
+                SparseMiddleExtractor on lane padding).
         Returns:
             (B, H, W, out_channels[-1]) features.
         """
         x = x.astype(self.dtype)
+        mask = mask.astype(self.dtype)
         li = 0
         for stage, (ch, extra) in enumerate(
                 zip(self.out_channels, self.layer_nums)):
             for _ in range(1 + extra):
                 x = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False,
                             dtype=self.dtype, name=f"conv_{li}")(x)
-                x = x * mask.astype(x.dtype)
+                x = x * mask[..., None]
                 x = MaskedBatchNorm(eps=1e-3, momentum=0.01,
-                                    name=f"bn_{li}")(x, mask, train)
+                                    name=f"bn_{li}")(x, mask[..., None],
+                                                     train)
                 x = nn.relu(x)
                 li += 1
         return x

@@ -53,6 +53,9 @@ class PointPillarsNet(nn.Module):
     # instead of the dense masked grid; numerics are identical
     sparse_middle: bool = False
     sparse_budget: int = 0
+    # rematerialize the encoder/RPN in the backward pass (the full-grid
+    # activations otherwise exceed HBM when training the flagship config)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -112,12 +115,18 @@ class PointPillarsNet(nn.Module):
                 bi, zi, yi, xi].set(feats, mode="drop",
                                     unique_indices=True,
                                     indices_are_sorted=True)
-            mask = jnp.zeros((b, d, h, w, 1), feats.dtype).at[
+            # mask kept WITHOUT a channel dim ((...,1) buffers lane-pad
+            # 128x on TPU)
+            mask = jnp.zeros((b, d, h, w), feats.dtype).at[
                 bi, zi, yi, xi].set(1.0, mode="drop",
                                     unique_indices=True,
                                     indices_are_sorted=True)
 
-            pseudo, _ = SparseMiddleExtractor(
+            middle_cls = SparseMiddleExtractor
+            if self.remat:
+                middle_cls = nn.remat(SparseMiddleExtractor,
+                                      static_argnums=(3,))
+            pseudo, _ = middle_cls(
                 in_channels=self.middle_in_channels,
                 out_channels=self.middle_channels,
                 dtype=self.dtype,
@@ -141,9 +150,13 @@ class PointPillarsNet(nn.Module):
         else:
             # the reference re-derives the 2D active set from nonzero
             # pseudo-pixels (model/PointPillars.py:769-784)
-            rpn_mask = jnp.any(pseudo != 0, axis=-1, keepdims=True)
+            rpn_mask = jnp.any(pseudo != 0, axis=-1)
 
-            x = SubmanifoldSparseRPN(
+            rpn_cls = SubmanifoldSparseRPN
+            if self.remat:
+                rpn_cls = nn.remat(SubmanifoldSparseRPN,
+                                   static_argnums=(3,))
+            x = rpn_cls(
                 out_channels=self.rpn_channels,
                 layer_nums=self.rpn_layer_nums,
                 dtype=self.dtype,
