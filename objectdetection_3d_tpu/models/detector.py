@@ -155,6 +155,8 @@ class PointPillars(BaseModel):
             sparse_middle=bool(self.tpu_cfg.get("sparse_middle", False)),
             sparse_budget=int(self.tpu_cfg.get("sparse_budget", 0)),
             remat=bool(self.tpu_cfg.get("remat", False)),
+            decompose_convs=bool(
+                self.tpu_cfg.get("decompose_convs", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),

@@ -56,6 +56,10 @@ class PointPillarsNet(nn.Module):
     # rematerialize the encoder/RPN in the backward pass (the full-grid
     # activations otherwise exceed HBM when training the flagship config)
     remat: bool = False
+    # lower 3D convs as z-shifted 2D convs: halves the lane-padding waste
+    # of the (..., C=20) grid buffers (XLA pads C to 128); needed to fit
+    # full-scale training in HBM, slightly slower for inference
+    decompose_convs: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -130,6 +134,7 @@ class PointPillarsNet(nn.Module):
                 in_channels=self.middle_in_channels,
                 out_channels=self.middle_channels,
                 dtype=self.dtype,
+                decompose_convs=self.decompose_convs,
                 name="pseudoimage_generator",
             )(grid, mask, train)
 
