@@ -71,9 +71,11 @@ class ObjectDetection(BasePipeline):
     def save_ckpt(self, epoch, save_best=False):
         ckpt_dir = join(self.cfg.log_dir, "checkpoint/")
         make_dir(ckpt_dir)
-        path = join(ckpt_dir, "ckpt_best.pkl" if save_best
-                    else f"ckpt_{epoch:05d}.pkl")
-        ckpt_io.save_ckpt(path, epoch, self.state)
+        backend = self.cfg.get("ckpt_backend", "pickle")
+        ext = "orbax" if backend == "orbax" else "pkl"
+        path = join(ckpt_dir, f"ckpt_best.{ext}" if save_best
+                    else f"ckpt_{epoch:05d}.{ext}")
+        ckpt_io.save_ckpt(path, epoch, self.state, backend=backend)
         log.info(f"Epoch {epoch:3d}: save ckpt to {path:s}")
 
     def load_ckpt(self):
@@ -96,7 +98,9 @@ class ObjectDetection(BasePipeline):
                 log.info("Initializing from scratch.")
                 return epoch, None
         else:
-            ckpt_path = join(ckpt_dir, "ckpt_best.pkl")
+            backend = self.cfg.get("ckpt_backend", "pickle")
+            ext = "orbax" if backend == "orbax" else "pkl"
+            ckpt_path = join(ckpt_dir, f"ckpt_best.{ext}")
             if not os.path.exists(ckpt_path):
                 raise ValueError(
                     "There is no pretrained model for inference. Best output "

@@ -21,7 +21,8 @@ def latest_ckpt(train_ckpt_dir):
     if not files:
         return None
     ckpt_list = [f for f in files
-                 if f.endswith((".pkl", ".pth")) and "ckpt_best" not in f]
+                 if f.endswith((".pkl", ".pth", ".orbax"))
+                 and "ckpt_best" not in f]
     if len(ckpt_list) == 0:
         return None
     ckpt_list.sort(key=natural_keys)

@@ -175,3 +175,33 @@ def test_run_inference_single_item(trained_run):
                     train_pipeline._device_arrays(batch))
     dets = train_pipeline.model.inference_end(preds)
     assert isinstance(dets, list) and len(dets) == 1
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    import jax
+    import jax.numpy as jnp
+    from objectdetection_3d_tpu.pipeline import checkpoint as ckpt_io
+
+    state = {
+        "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+        "batch_stats": {"bn": {"mean": jnp.zeros(3)}},
+        "opt_state": {"count": jnp.asarray(7)},
+    }
+    path = str(tmp_path / "ckpt_00001.orbax")
+    ckpt_io.save_ckpt(path, 1, state, backend="orbax")
+    assert os.path.isdir(path)
+    loaded = ckpt_io.load_ckpt(path)  # backend inferred from dir
+    assert loaded["epoch"] == 1
+    np.testing.assert_allclose(np.asarray(loaded["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    np.testing.assert_allclose(
+        np.asarray(loaded["batch_stats"]["bn"]["mean"]), np.zeros(3))
+
+
+def test_latest_ckpt_natural_sort(tmp_path):
+    from objectdetection_3d_tpu.pipeline.utils import latest_ckpt
+
+    for name in ("ckpt_00002.pkl", "ckpt_00010.pkl", "ckpt_best.pkl"):
+        (tmp_path / name).write_bytes(b"x")
+    assert latest_ckpt(str(tmp_path)).endswith("ckpt_00010.pkl")
