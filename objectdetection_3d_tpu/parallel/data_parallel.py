@@ -81,6 +81,48 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
     return run
 
 
+def make_spatial_predict_fn(model, mesh, data_axis="data",
+                            space_axis="space"):
+    """2-D parallel inference: batch over ``data`` AND the pseudo-image's
+    H dimension over ``space``.
+
+    Spatial sharding is this workload's sequence-parallelism analog
+    (SURVEY §2.9): the SPMD partitioner splits the dense grid and every
+    conv over the ``space`` axis, inserting halo exchanges over ICI
+    automatically — the in-XLA version of pipeline/tiled_inference.py.
+    """
+    from jax.sharding import PartitionSpec
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P(data_axis))
+
+    def predict(variables, batch, anchors):
+        vox = model.voxelize_batch(batch["points"], batch["num_points"])
+        # constrain the voxel buffers to data-parallel, then let the grid
+        # scatter + convs run with H sharded over `space`
+        outs = model.net.apply(
+            variables, vox["voxels"], vox["num_points_per_voxel"],
+            vox["coords"], vox["voxel_mask"], train=False)
+        cls, reg, dirs = outs
+        spec = PartitionSpec(data_axis, space_axis, None, None)
+        cls = jax.lax.with_sharding_constraint(
+            cls, NamedSharding(mesh, spec))
+        reg = jax.lax.with_sharding_constraint(
+            reg, NamedSharding(mesh, spec))
+        dirs = jax.lax.with_sharding_constraint(
+            dirs, NamedSharding(mesh, spec))
+        return jax.vmap(model._predict_single,
+                        in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
+
+    jitted = jax.jit(predict, in_shardings=(repl, bsh, repl),
+                     out_shardings=bsh)
+
+    def run(variables, batch):
+        return jitted(variables, batch, model.anchors)
+
+    return run
+
+
 def make_sharded_predict_fn(model, mesh, axis_name="data"):
     """Data-parallel inference: variables replicated, batch + detections
     sharded over the batch dimension."""

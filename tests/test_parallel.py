@@ -85,3 +85,26 @@ def test_sharded_predict(setup):
                    "batch_stats": variables["batch_stats"]}, batch)
     assert out["bbox"].shape[0] == 8
     assert np.all(np.isfinite(np.asarray(out["score"])))
+
+
+def test_spatial_sharded_predict(setup):
+    """2-D mesh: batch over 'data', pseudo-image H over 'space'; results
+    must match the unsharded predict."""
+    from jax.sharding import Mesh
+    from objectdetection_3d_tpu.parallel import make_spatial_predict_fn
+
+    model, variables, tx = setup
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "space"))
+    predict2d = make_spatial_predict_fn(model, mesh)
+    batch = to_device(tiny_batch(batch_size=2, seed=9))
+    pv = {"params": variables["params"],
+          "batch_stats": variables["batch_stats"]}
+    got = predict2d(pv, batch)
+    want = model.make_predict_fn()(pv, batch)
+    np.testing.assert_allclose(np.asarray(got["score"]),
+                               np.asarray(want["score"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got["label"]),
+                                  np.asarray(want["label"]))
+    np.testing.assert_allclose(np.asarray(got["bbox"]),
+                               np.asarray(want["bbox"]), atol=1e-3)
