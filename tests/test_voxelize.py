@@ -116,3 +116,26 @@ def test_reflectance_capping_keeps_top_points():
     out = vx(jnp.asarray(pts), 6)
     kept = sorted(np.asarray(out["voxels"])[0, :3, 3].tolist())
     assert kept == [7.0, 8.0, 9.0]
+
+
+def test_shuffle_path_no_reflectance_priority():
+    """The non-reflectance path keys insertion order on a PRNG, matching
+    the reference's pre-shuffle semantics (ops/ops_numba.py:190)."""
+    import jax
+
+    pts = np.zeros((6, 4), np.float32)
+    pts[:, :3] = [0.2, 0.2, 0.5]
+    pts[:, 3] = [1, 9, 3, 7, 5, 8]
+    vx = Voxelizer(VOXEL_SIZE, PC_RANGE, max_voxel_points=3, max_voxels=4,
+                   reflectance_sampling=False)
+    out1 = vx(jnp.asarray(pts), 6, shuffle_key=jax.random.PRNGKey(0))
+    out2 = vx(jnp.asarray(pts), 6, shuffle_key=jax.random.PRNGKey(0))
+    out3 = vx(jnp.asarray(pts), 6, shuffle_key=jax.random.PRNGKey(5))
+    k1 = sorted(np.asarray(out1["voxels"])[0, :3, 3].tolist())
+    k2 = sorted(np.asarray(out2["voxels"])[0, :3, 3].tolist())
+    k3 = sorted(np.asarray(out3["voxels"])[0, :3, 3].tolist())
+    assert k1 == k2  # same key -> same sample
+    # counts/coords identical regardless of sampling order
+    np.testing.assert_array_equal(np.asarray(out1["num_points_per_voxel"]),
+                                  np.asarray(out3["num_points_per_voxel"]))
+    assert len(k3) == 3
