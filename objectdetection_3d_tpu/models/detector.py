@@ -157,6 +157,8 @@ class PointPillars(BaseModel):
             remat=bool(self.tpu_cfg.get("remat", False)),
             decompose_convs=bool(
                 self.tpu_cfg.get("decompose_convs", False)),
+            pallas_subm=bool(
+                self.tpu_cfg.get("pallas_subm_conv", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),

@@ -220,8 +220,11 @@ class SparseMiddleExtractor(nn.Module):
     out_channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
     decompose_convs: bool = False
+    # inference-only Pallas im2col kernel for small-channel subm convs
+    # (no VJP; the training path keeps the XLA conv)
+    pallas_subm: bool = False
 
-    def _subm_conv3d(self, x, ch, name):
+    def _subm_conv3d(self, x, ch, name, train=True):
         """3x3x3 SAME conv.
 
         Two equivalent lowerings behind ``decompose_convs``: the native XLA
@@ -234,6 +237,12 @@ class SparseMiddleExtractor(nn.Module):
             name,
             nn.initializers.lecun_normal(),
             (3, 3, 3, c, ch))
+        if (self.pallas_subm and not train and c <= 24 and h % 8 == 0
+                and w >= 8 and jax.default_backend() == "tpu"):
+            from objectdetection_3d_tpu.ops.pallas_conv import (
+                subm_conv3d_pallas)
+
+            return subm_conv3d_pallas(x, kernel)
         if not self.decompose_convs:
             return jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
@@ -289,7 +298,7 @@ class SparseMiddleExtractor(nn.Module):
         x = grid.astype(self.dtype)
         mask = mask.astype(self.dtype)
         for i, ch in enumerate(self.out_channels):
-            x = self._subm_conv3d(x, ch, f"subm_{i}_kernel")
+            x = self._subm_conv3d(x, ch, f"subm_{i}_kernel", train)
             x = x * mask[..., None]
             x = MaskedBatchNorm(name=f"subm_bn_{i}")(x, mask[..., None],
                                                      train)

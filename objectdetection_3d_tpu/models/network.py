@@ -60,6 +60,7 @@ class PointPillarsNet(nn.Module):
     # of the (..., C=20) grid buffers (XLA pads C to 128); needed to fit
     # full-scale training in HBM, slightly slower for inference
     decompose_convs: bool = False
+    pallas_subm: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -135,6 +136,7 @@ class PointPillarsNet(nn.Module):
                 out_channels=self.middle_channels,
                 dtype=self.dtype,
                 decompose_convs=self.decompose_convs,
+                pallas_subm=self.pallas_subm,
                 name="pseudoimage_generator",
             )(grid, mask, train)
 
