@@ -120,8 +120,12 @@ def voxelize(
     vox_id_search = jnp.where(cell_s < sentinel, vox_id, max_voxels + p)
 
     v_ids = jnp.arange(max_voxels)
-    starts = jnp.searchsorted(vox_id_search, v_ids, side="left")
-    ends = jnp.searchsorted(vox_id_search, v_ids, side="right")
+    # one binary-search pass: for integer keys, side='right' on v equals
+    # side='left' on v+1
+    bounds = jnp.searchsorted(
+        vox_id_search, jnp.concatenate([v_ids, v_ids + 1]), side="left")
+    starts = bounds[:max_voxels]
+    ends = bounds[max_voxels:]
 
     num_voxels = jnp.minimum(jnp.sum(first), max_voxels).astype(jnp.int32)
     voxel_mask = v_ids < num_voxels
