@@ -17,43 +17,40 @@ from objectdetection_3d_tpu.ops.boxes import (
 from objectdetection_3d_tpu.ops.iou3d import iou3d
 
 
-def _greedy_keep(suppress_sorted, valid_sorted):
-    """Greedy suppression in score-sorted space.
+def _greedy_keep(suppress, valid, rank):
+    """Greedy suppression as a fixpoint iteration in original index space.
 
-    Box i is kept iff it is valid and no earlier kept box suppresses it —
-    the same keep set as the reference's while-loop
-    (model/utils.py:406-424).  ``suppress_sorted`` is the boolean
-    pairwise suppression matrix (iou > thr, or exact intersection for the
-    any-overlap threshold).
+    Box j is kept iff it is valid and no kept higher-scored box suppresses
+    it — the same keep set as the reference's while-loop
+    (model/utils.py:406-424).  The precedence graph is a DAG through the
+    score ranks, so the recurrence has a *unique* fixpoint (induction over
+    rank) and iterating ``kept <- valid & ~any(S_upper & kept)`` from
+    ``kept = valid`` reaches it within the longest suppression-chain
+    length (typically a handful) — each iteration is one vectorized (N, N)
+    masked reduction; no sequential dynamic slices, no permutation
+    gathers.
     """
-    n = valid_sorted.shape[0]
-    idx = jnp.arange(n)
+    n = valid.shape[0]
+    s_upper = (suppress
+               & (rank[:, None] < rank[None, :])
+               & valid[:, None])
 
-    # the recurrence is inherently sequential; unrolling U candidates per
-    # loop step amortizes the per-iteration device overhead (the dominant
-    # cost of tiny loop bodies) without changing the exact greedy result
-    unroll = 10
-    steps = (n + unroll - 1) // unroll
+    def cond(state):
+        kept, prev, it = state
+        return jnp.logical_and(it < n, jnp.any(kept != prev))
 
-    def body(k, state):
-        keep, suppressed = state
-        for u in range(unroll):
-            i = k * unroll + u
-            in_range = i < n
-            i_c = jnp.minimum(i, n - 1)
-            is_active = in_range & valid_sorted[i_c] & ~suppressed[i_c]
-            keep = jnp.where(idx == i_c, is_active, keep)
-            sup = suppress_sorted[i_c] & (idx != i_c) & is_active
-            suppressed = suppressed | sup
-        return keep, suppressed
+    def body(state):
+        kept, _, it = state
+        blocked = jnp.any(s_upper & kept[:, None], axis=0)
+        return valid & ~blocked, kept, it + 1
 
-    keep, _ = jax.lax.fori_loop(
-        0, steps, body,
-        (jnp.zeros((n,), bool), jnp.zeros((n,), bool)))
-    return keep
+    kept, _, _ = jax.lax.while_loop(
+        cond, body, (valid, ~valid, jnp.int32(0)))
+    return kept
 
 
-@partial(jax.jit, static_argnames=("nms_dim", "iou_row_chunk"))
+@partial(jax.jit, static_argnames=("score_thr", "iou_thr",
+                                  "nms_dim", "iou_row_chunk"))
 def multiclass_nms(boxes, scores, score_thr, iou_thr, nms_dim=3,
                    valid_mask=None, iou_row_chunk=64):
     """Per-class greedy NMS (reference model/utils.py:353-426 semantics).
@@ -76,10 +73,9 @@ def multiclass_nms(boxes, scores, score_thr, iou_thr, nms_dim=3,
 
     # a threshold this small means "suppress on any overlap": the exact
     # SAT intersection test gives the same suppression matrix as
-    # iou > thr at a fraction of the clipping cost
-    sat_fast_path = (nms_dim == 3
-                     and isinstance(iou_thr, (int, float))
-                     and iou_thr <= 1e-4)
+    # iou > thr at a fraction of the clipping cost (iou_thr is a static
+    # argument precisely so this branch resolves at trace time)
+    sat_fast_path = nms_dim == 3 and float(iou_thr) <= 1e-4
     if sat_fast_path:
         from objectdetection_3d_tpu.ops.iou3d import obb_intersect
 
@@ -93,8 +89,8 @@ def multiclass_nms(boxes, scores, score_thr, iou_thr, nms_dim=3,
     def one_class(cls_scores):
         valid = (cls_scores > score_thr) & valid_mask
         order = jnp.argsort(-jnp.where(valid, cls_scores, -jnp.inf))
-        sup_s = suppress[order][:, order]
-        keep_sorted = _greedy_keep(sup_s, valid[order])
-        return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+        rank = jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        return _greedy_keep(suppress, valid, rank)
 
     return jax.vmap(one_class, in_axes=1, out_axes=1)(scores)
