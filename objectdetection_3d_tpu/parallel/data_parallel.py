@@ -19,10 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices=None, axis_name="data", devices=None):
-    """1-D device mesh over the first ``n_devices`` devices."""
+    """1-D device mesh over the first ``n_devices`` devices.
+
+    Raises if fewer than ``n_devices`` devices exist: a mesh that silently
+    shrinks to the available device count would make every multi-chip test
+    pass while testing nothing.
+    """
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} JAX device(s) exist "
+                f"(backend={jax.default_backend()!r}); for virtual CPU "
+                "devices set XLA_FLAGS=--xla_force_host_platform_device_"
+                f"count={n_devices} and jax_platforms=cpu BEFORE first use")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 
