@@ -129,6 +129,8 @@ class StaticBatcher:
             "bboxes": boxes,
             "labels": labels,
             "gt_mask": gt_mask,
+            # real (non-repeat) items; DataLoader._make flips the repeats
+            "item_valid": np.ones((b,), bool),
         }
         return DetectionBatch(arrays, attrs)
 
@@ -196,4 +198,5 @@ class DataLoader:
             attr_pad = [True] * pad
         batch = self.batcher.collate(items)
         batch.pad_flags = [False] * (len(items) - len(attr_pad)) + attr_pad
+        batch.arrays["item_valid"] = ~np.asarray(batch.pad_flags)
         return batch

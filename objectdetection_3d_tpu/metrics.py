@@ -70,7 +70,7 @@ class MetricEvaluator:
         return {k: np.asarray(v)[idx] for k, v in data.items()}, idx
 
     def precision_recall_evaluation(self, pred, target, classes,
-                                    min_overlap=(0.5,)):
+                                    min_overlap=(0.1,)):
         """Per-cloud detection quantities (reference model/metrics.py:39-153).
 
         Returns:

@@ -56,11 +56,18 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     positive when that max >= ``neg_thr``.  Per-anchor target = argmax GT
     (first on ties, like torch ``max``).
 
+    Per-class thresholds (reference per-class loop with ``iou_thr[j]``,
+    model/PointPillars.py:937-944,976-978): pass ``pos_thr``/``neg_thr`` as
+    (num_classes,) arrays and each anchor is judged by the thresholds of
+    the class of its best-matching GT (the rescue rule likewise uses the
+    GT's own class threshold).  Scalars reproduce the single-class rule.
+
     Args:
         anchors: (N, 9) flat anchor boxes.
         gt_boxes: (G, 9) padded GT boxes, gt_mask: (G,) validity.
         gt_labels: (G,) int labels.
-        pos_thr, neg_thr: scalars (iou_thr[1], iou_thr[0] of the config).
+        pos_thr, neg_thr: scalars or (num_classes,) arrays
+            (iou_thr[.][1], iou_thr[.][0] of the config).
     Returns:
         dict with per-anchor arrays:
             pos_mask, neg_mask: (N,) bool
@@ -128,12 +135,23 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         jnp.where(winner, g_ids, g).reshape(-1))
     best_gt_clipped = jnp.clip(best_gt, 0, max(g - 1, 0))
 
-    pos = max_overlap >= pos_thr
-    neg = max_overlap < neg_thr
+    # per-class thresholds, indexed by the matched GT's class
+    c = max(num_classes, 1)
+    pos_thr = (jnp.asarray(pos_thr, jnp.float32)
+               * jnp.ones((c,), jnp.float32))
+    neg_thr = (jnp.asarray(neg_thr, jnp.float32)
+               * jnp.ones((c,), jnp.float32))
+    lbl_safe = jnp.clip(gt_labels, 0, c - 1)
+    anchor_lbl = lbl_safe[best_gt_clipped]
 
-    # low-quality rescue (reference model/PointPillars.py:976-978)
+    pos = max_overlap >= pos_thr[anchor_lbl]
+    neg = max_overlap < neg_thr[anchor_lbl]
+
+    # low-quality rescue (reference model/PointPillars.py:976-978), with
+    # each GT's own class threshold
     gt_max = jnp.max(exact, axis=1)  # (G,)
-    rescue = (exact >= gt_max[:, None]) & (gt_max[:, None] >= neg_thr)
+    rescue = ((exact >= gt_max[:, None])
+              & (gt_max[:, None] >= neg_thr[lbl_safe][:, None]))
     rescue &= gt_mask[:, None] & (exact > 0)
     pos_extra = jnp.zeros((n,), bool).at[flat_idx].max(rescue.reshape(-1))
     pos = pos | pos_extra

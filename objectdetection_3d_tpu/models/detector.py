@@ -176,6 +176,9 @@ class PointPillars(BaseModel):
             assert len(iou_thr) == 1
             iou_thr = iou_thr * max(self.num_classes, 1)
         self.iou_thr = iou_thr
+        thr = np.asarray(iou_thr, np.float32).reshape(-1, 2)
+        self._neg_thr = jnp.asarray(thr[:, 0])
+        self._pos_thr = jnp.asarray(thr[:, 1])
 
         self._jit_cache = {}
 
@@ -251,23 +254,33 @@ class PointPillars(BaseModel):
         assign = jax.vmap(
             lambda gt, lbl, msk: assign_targets(
                 anchors, gt, lbl, msk,
-                pos_thr=self.iou_thr[0][1], neg_thr=self.iou_thr[0][0],
+                pos_thr=self._pos_thr, neg_thr=self._neg_thr,
                 candidates_per_gt=int(
                     self.tpu_cfg["assign_candidates_per_gt"]),
                 num_classes=self.num_classes,
                 anchor_aabb=anchor_aabb)
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
-        pos = assign["pos_mask"].reshape(-1)
-        neg = assign["neg_mask"].reshape(-1)
-        num_pos = jnp.sum(assign["num_pos"])
+        # padded repeat items (short final batches) carry zero weight so
+        # eval/train losses average only over real clouds
+        item_valid = inputs.get("item_valid")
+        if item_valid is None:
+            item_valid = jnp.ones((b,), jnp.float32)
+        else:
+            item_valid = item_valid.astype(jnp.float32)
+
+        pos_f = (assign["pos_mask"].astype(jnp.float32)
+                 * item_valid[:, None]).reshape(-1)
+        neg_f = (assign["neg_mask"].astype(jnp.float32)
+                 * item_valid[:, None]).reshape(-1)
+        num_pos = jnp.sum(assign["num_pos"].astype(jnp.float32) * item_valid)
         # avg_factor = total positive count; 1 when empty reproduces the
         # reference's unreduced-sum fallback (model/PointPillars.py:213-218)
-        avg = jnp.maximum(num_pos, 1).astype(jnp.float32)
+        avg = jnp.maximum(num_pos, 1.0)
 
         cls_flat = cls.reshape(-1, c)
         target_labels = assign["target_labels"].reshape(-1)
-        wmask = (pos | neg).astype(jnp.float32)[:, None]
+        wmask = (pos_f + neg_f)[:, None]
         loss_cls = self.loss_cls(cls_flat, target_labels, weight=wmask,
                                  avg_factor=avg)
 
@@ -281,13 +294,13 @@ class PointPillars(BaseModel):
             [reg_flat[:, :-3], jnp.sin(pred_r) * jnp.cos(tgt_r)], axis=-1)
         tgt_sin = jnp.concatenate(
             [tgt[:, :-3], jnp.cos(pred_r) * jnp.sin(tgt_r)], axis=-1)
-        posw = pos.astype(jnp.float32)[:, None]
+        posw = pos_f[:, None]
         loss_bbox = self.loss_bbox(pred_sin, tgt_sin, weight=posw,
                                    avg_factor=avg)
 
         dirs_flat = dirs.reshape(-1, 3, 2)
         dir_tgt = assign["dir_targets"].reshape(-1, 3)
-        posw1 = pos.astype(jnp.float32)
+        posw1 = pos_f
         loss_dir = {}
         for i, ax in enumerate("xyz"):
             loss_dir[ax] = self.loss_dir(

@@ -248,13 +248,29 @@ class ForegroundFilter:
             self.foreground_filter.load_model(
                 "{}{}".format(self.path, self.filter_type))
         else:
+            import os
+
             from objectdetection_3d_tpu.models.layers import MLP
 
-            self.mlp = MLP(
-                input_channels=self.filter_cfg.get("input_channels", 37))
-            with open("{}{}.pkl".format(self.path, self.filter_type),
-                      "rb") as f:
-                self.variables = pickle.load(f)
+            pkl_path = "{}{}.pkl".format(self.path, self.filter_type)
+            pth_path = "{}{}.pth".format(self.path, self.filter_type)
+            if os.path.exists(pkl_path):
+                with open(pkl_path, "rb") as f:
+                    self.variables = pickle.load(f)
+            elif os.path.exists(pth_path):
+                # the reference's shipped torch checkpoint
+                # (model/models/mlp.pth, loaded at model/utils.py:115-116)
+                from objectdetection_3d_tpu.models.torch_import import (
+                    mlp_variables_from_torch)
+
+                self.variables = mlp_variables_from_torch(pth_path)
+            else:
+                raise FileNotFoundError(
+                    "no MLP checkpoint at {} (.pkl or .pth)".format(
+                        pkl_path[:-4]))
+            in_ch = self.variables["params"]["dense_0"]["kernel"].shape[0]
+            self.mlp = MLP(input_channels=int(
+                self.filter_cfg.get("input_channels", in_ch)))
 
     def evaluate(self, features):
         """(N, C) features -> (N,) uint8 foreground mask."""

@@ -143,47 +143,4 @@ int64_t preprocess_cloud(const float* points, int64_t n, int64_t c,
   return written;
 }
 
-// Count of points a preprocess_cloud call would produce were max_points
-// unbounded (for callers that size buffers exactly).
-int64_t preprocess_count(const float* points, int64_t n, int64_t c,
-                         const float* range_min, const float* range_max,
-                         float sigma_mult) {
-  static thread_local std::vector<float> scratch;
-  // cheap upper bound: reuse the filter logic with a count-only pass
-  if (n <= 0 || c < 3) return 0;
-  double mean[3] = {0, 0, 0};
-  for (int64_t i = 0; i < n; ++i) {
-    const float* p = points + i * c;
-    for (int k = 0; k < 3; ++k) mean[k] += p[k];
-  }
-  for (int k = 0; k < 3; ++k) mean[k] /= static_cast<double>(n);
-  double nm = 0, nq = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const float* p = points + i * c;
-    double dx = p[0] - mean[0], dy = p[1] - mean[1], dz = p[2] - mean[2];
-    double nrm = std::sqrt(dx * dx + dy * dy + dz * dz);
-    nm += nrm;
-    nq += nrm * nrm;
-  }
-  nm /= static_cast<double>(n);
-  nq /= static_cast<double>(n);
-  double var = nq - nm * nm;
-  double thr = nm + sigma_mult * std::sqrt(var > 0 ? var : 0);
-  int64_t cnt = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    const float* p = points + i * c;
-    double dx = p[0] - mean[0], dy = p[1] - mean[1], dz = p[2] - mean[2];
-    if (std::sqrt(dx * dx + dy * dy + dz * dz) >= thr) continue;
-    bool in = true;
-    for (int k = 0; k < 3; ++k)
-      if (!(p[k] >= range_min[k] && p[k] < range_max[k])) {
-        in = false;
-        break;
-      }
-    if (in) ++cnt;
-  }
-  (void)scratch;
-  return cnt;
-}
-
 }  // extern "C"

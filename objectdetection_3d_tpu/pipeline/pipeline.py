@@ -148,6 +148,18 @@ class ObjectDetection(BasePipeline):
     def _device_arrays(self, batch):
         return {k: jnp.asarray(v) for k, v in batch.arrays.items()}
 
+    def _attach_log_file(self, log_file_path):
+        """Route module logs to a per-run file, replacing any file handler
+        a previous run_training/run_testing call on this process attached
+        (repeated calls must not multiply log lines)."""
+        old = getattr(self, "_log_file_handler", None)
+        if old is not None:
+            log.removeHandler(old)
+            old.close()
+        handler = logging.FileHandler(log_file_path)
+        log.addHandler(handler)
+        self._log_file_handler = handler
+
     def _ensure_eval_fn(self):
         if self._eval_fn is None:
             self._eval_fn = self.model.make_eval_fn()
@@ -216,7 +228,7 @@ class ObjectDetection(BasePipeline):
 
         precision, recall = self.ME.evaluate(
             prediction, target, self.model.classes_ids,
-            self.cfg.get("overlaps", [0.5]))
+            self.cfg.get("overlaps", [0.1]))
 
         print("")
         print(f' {" ": <9} "==== Precision ==== Recall ==== F1 ====" ')
@@ -334,7 +346,7 @@ class ObjectDetection(BasePipeline):
 
         precision, recall = self.ME.evaluate(
             prediction, target, self.model.classes_ids,
-            self.cfg.get("overlaps", [0.5]))
+            self.cfg.get("overlaps", [0.1]))
         p, r, f1 = self._log_pr(precision, recall)
         valid_losses["precision"] = p
         valid_losses["recall"] = r
@@ -350,7 +362,7 @@ class ObjectDetection(BasePipeline):
         log.info("DEVICE : {}".format(self.device))
         log_file_path = join(test_folder, "log_test_" + timestamp + ".txt")
         log.info("Logging in file : {}".format(log_file_path))
-        log.addHandler(logging.FileHandler(log_file_path))
+        self._attach_log_file(log_file_path)
 
         if self.state is None:
             self._init_state()
@@ -363,7 +375,7 @@ class ObjectDetection(BasePipeline):
 
         precision, recall = self.ME.evaluate(
             prediction, target, self.model.classes_ids,
-            self.cfg.get("overlaps", [0.5]))
+            self.cfg.get("overlaps", [0.1]))
         p, r, f1 = self._log_pr(precision, recall)
 
         test_protocol = {
@@ -392,7 +404,7 @@ class ObjectDetection(BasePipeline):
         log_file_path = join(self.cfg.log_dir,
                              "log_train_" + timestamp + ".txt")
         log.info("Logging in file : {}".format(log_file_path))
-        log.addHandler(logging.FileHandler(log_file_path))
+        self._attach_log_file(log_file_path)
 
         train_split = PreprocessedDataset(
             dataset=self.dataset.get_split("training"),

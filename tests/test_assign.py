@@ -13,17 +13,28 @@ from objectdetection_3d_tpu.models.assign import assign_targets  # noqa: E402
 from objectdetection_3d_tpu.ops.iou3d import iou3d  # noqa: E402
 
 
-def oracle_assign(iou, pos_thr, neg_thr):
+def oracle_assign(iou, pos_thr, neg_thr, labels=None):
     """Reference matching rules on a dense (G, N) IoU matrix
-    (model/PointPillars.py:964-978)."""
+    (model/PointPillars.py:964-978).  ``pos_thr``/``neg_thr`` may be
+    per-class arrays indexed by each anchor's best-match GT label
+    (per-class loop with iou_thr[j], model/PointPillars.py:937-944)."""
     max_overlap = iou.max(axis=0) if iou.shape[0] else np.zeros(iou.shape[1])
     argmax = iou.argmax(axis=0) if iou.shape[0] else np.zeros(
         iou.shape[1], int)
-    pos = max_overlap >= pos_thr
-    neg = max_overlap < neg_thr
+    pos_thr = np.atleast_1d(np.asarray(pos_thr, np.float64))
+    neg_thr = np.atleast_1d(np.asarray(neg_thr, np.float64))
+    if labels is None:
+        labels = np.zeros(max(iou.shape[0], 1), int)
+    lbl = np.asarray(labels)[argmax] if iou.shape[0] else np.zeros(
+        iou.shape[1], int)
+    pt = pos_thr[lbl] if pos_thr.size > 1 else pos_thr[0]
+    nt = neg_thr[lbl] if neg_thr.size > 1 else neg_thr[0]
+    pos = max_overlap >= pt
+    neg = max_overlap < nt
     for g in range(iou.shape[0]):
         gt_max = iou[g].max()
-        if gt_max >= neg_thr:
+        g_nt = neg_thr[labels[g]] if neg_thr.size > 1 else neg_thr[0]
+        if gt_max >= g_nt:
             pos[iou[g] == gt_max] = True
     neg = neg & ~pos
     return pos, neg, argmax, max_overlap
@@ -64,6 +75,54 @@ def test_matches_bruteforce(seed):
     np.testing.assert_array_equal(
         np.asarray(out["best_gt"])[pos], argmax[pos])
     assert int(out["num_pos"]) == int(pos.sum())
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_two_classes_distinct_thresholds(seed):
+    """Per-class iou_thr: class 0 uses (0.08, 0.2), class 1 a much stricter
+    (0.3, 0.55) — the brute-force oracle applies each anchor's matched-GT
+    class threshold."""
+    rng = np.random.default_rng(seed)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 8.0, 8.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5], [1.4, 1.4, 2.0]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((16, 16)))
+
+    g_valid = 4
+    gt = np.zeros((6, 9), np.float32)
+    gt[:g_valid, :2] = rng.uniform(1, 7, (g_valid, 2))
+    gt[:g_valid, 2] = 0.0
+    gt[:g_valid, 3:6] = rng.uniform(0.6, 1.4, (g_valid, 3)) * [1, 1, 2.2]
+    gt[:g_valid, 8] = rng.uniform(-np.pi, np.pi, g_valid)
+    gt_mask = np.arange(6) < g_valid
+    labels = np.zeros(6, np.int32)
+    labels[:g_valid] = rng.integers(0, 2, g_valid)
+    labels[0] = 1  # make sure class 1 appears
+
+    pos_thr = np.array([0.2, 0.55], np.float32)
+    neg_thr = np.array([0.08, 0.3], np.float32)
+    out = assign_targets(anchors, jnp.asarray(gt), jnp.asarray(labels),
+                         jnp.asarray(gt_mask),
+                         pos_thr=jnp.asarray(pos_thr),
+                         neg_thr=jnp.asarray(neg_thr),
+                         candidates_per_gt=128, gt_chunk=4, num_classes=2)
+
+    dense = np.asarray(iou3d(jnp.asarray(gt[:g_valid]), anchors,
+                             row_chunk=4))
+    pos, neg, argmax, max_overlap = oracle_assign(
+        dense, pos_thr, neg_thr, labels=labels[:g_valid])
+
+    np.testing.assert_array_equal(np.asarray(out["pos_mask"]), pos)
+    np.testing.assert_array_equal(np.asarray(out["neg_mask"]), neg)
+    np.testing.assert_array_equal(
+        np.asarray(out["best_gt"])[pos], argmax[pos])
+    # positive anchors carry their matched GT's label
+    np.testing.assert_array_equal(
+        np.asarray(out["target_labels"])[pos], labels[argmax[pos]])
+    assert int(out["num_pos"]) == int(pos.sum())
+    assert pos.sum() > 0
 
 
 def test_targets_and_dirs():

@@ -109,3 +109,29 @@ def test_short_batch_padding(forest_dir):
     (b,) = list(loader)
     assert b.points.shape[0] == 4
     assert b.pad_flags == [False, False, True, True]
+    assert b.arrays["item_valid"].tolist() == [True, True, False, False]
+
+
+def test_padded_items_excluded_from_loss():
+    """Loss of (real batch padded with a repeat) == loss of the real batch
+    alone: padded items carry zero weight."""
+    import jax
+    import jax.numpy as jnp
+    from objectdetection_3d_tpu.models import PointPillars
+    from tiny import tiny_batch, tiny_model_cfg
+
+    model = PointPillars(**tiny_model_cfg())
+    variables = model.init_variables(jax.random.PRNGKey(0))
+
+    b1 = {k: jnp.asarray(v) for k, v in tiny_batch(batch_size=1,
+                                                   seed=5).items()}
+    losses1 = model.loss(model.apply(variables, b1, train=False)[0], b1)
+
+    # pad to batch 2 with a repeat of the item flagged invalid
+    b2 = {k: jnp.concatenate([v, v], axis=0) for k, v in b1.items()}
+    b2["item_valid"] = jnp.array([True, False])
+    losses2 = model.loss(model.apply(variables, b2, train=False)[0], b2)
+
+    for k in losses1:
+        np.testing.assert_allclose(float(losses2[k]), float(losses1[k]),
+                                   rtol=1e-5, atol=1e-6)
