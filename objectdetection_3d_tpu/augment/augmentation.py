@@ -1,9 +1,12 @@
-"""Train-time point-cloud augmentation (host side).
+"""Host-side train-time augmentation.
 
-Mirrors reference augment/augmentation.py:6-220: a base class of generic
-cloud transforms plus the object-detection augmentor that applies a
-configured subset in fixed order.  The active reference config enables only
-``PointShuffle`` (config.yaml:69-72).
+Behavioral contract follows reference augment/augmentation.py:6-220 (method
+set, fixed application order, per-worker RNG override, config keys), but is
+organized as a table of pure transforms: each primitive takes (rng, array,
+cfg) and the augmentor composes the configured subset at call time.  The
+TPU-first augmentation path lives in ``augment/device_ops.py``; this module
+covers the host contract (the active reference config only enables
+``PointShuffle``, config.yaml:69-72).
 """
 
 import warnings
@@ -12,103 +15,134 @@ import numpy as np
 
 from objectdetection_3d_tpu.augment import numpy_ops as npo
 
+#: every method name the reference accepts; anything else warns
+KNOWN_METHODS = (
+    "recenter", "normalize", "rotate", "scale", "noise", "PointShuffle",
+    "ObjectRangeFilter", "ObjectSample",
+)
 
+
+# --------------------------------------------------------------------------
+# primitive transforms (pure: rng in, arrays out)
+# --------------------------------------------------------------------------
+def recenter(rng, pc, cfg):
+    """Shift the configured dims ('dim', default xyz) to zero mean."""
+    if not cfg:
+        return pc
+    dims = cfg.get("dim", [0, 1, 2]) if isinstance(cfg, dict) else [0, 1, 2]
+    out = pc.copy()
+    out[:, dims] -= pc.mean(0)[dims]
+    return out
+
+
+def normalize(rng, pc, feat, cfg):
+    """Points to zero-mean/unit-extent; features by bias/scale."""
+    pcfg = cfg.get("points")
+    if pcfg is not None:
+        if pcfg.get("method", "linear") != "linear":
+            raise ValueError(f"Unsupported method : {pcfg.get('method')}")
+        pc = pc - pc.mean(0)
+        pc = pc / (pc.max(0) - pc.min(0)).max()
+    fcfg = cfg.get("feat")
+    if fcfg is not None and feat is not None:
+        if fcfg.get("method", "linear") != "linear":
+            raise ValueError(f"Unsupported method : {fcfg.get('method')}")
+        feat = (feat - fcfg.get("bias", 0)) / fcfg.get("scale", 1)
+    return pc, feat
+
+
+def _yaw_matrix(theta):
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def _uniform_so3_matrix(rng):
+    """Random axis from spherical angles + random rotation angle."""
+    theta = rng.random() * 2 * np.pi
+    phi = (rng.random() - 0.5) * np.pi
+    axis = np.array([np.cos(theta) * np.cos(phi),
+                     np.sin(theta) * np.cos(phi),
+                     np.sin(phi)])
+    alpha = rng.random() * 2 * np.pi
+    return npo.create_3D_rotations(axis.reshape(1, -1),
+                                   np.reshape(alpha, (1,)))[0]
+
+
+def rotate(rng, pc, cfg):
+    """'vertical' = random yaw, 'all' = uniform SO(3)."""
+    if np.abs(pc[:, :2].mean()) > 1e-2:
+        warnings.warn("It is recommended to recenter the pointcloud before "
+                      "calling rotate.")
+    method = cfg.get("method", "vertical")
+    if method == "vertical":
+        mat = _yaw_matrix(rng.random() * 2 * np.pi)
+    elif method == "all":
+        mat = _uniform_so3_matrix(rng)
+    else:
+        raise ValueError(f"Unsupported method : {method}")
+    return pc @ mat.astype(np.float32)
+
+
+def scale(rng, pc, cfg):
+    """Uniform random scale in [min_s, max_s); per-column if anisotropic."""
+    lo, hi = cfg.get("min_s", 1.0), cfg.get("max_s", 1.0)
+    draw = rng.random(pc.shape[1]) if cfg.get("scale_anisotropic") \
+        else rng.random()
+    return pc * (draw * (hi - lo) + lo)
+
+
+def noise(rng, pc, cfg):
+    std = cfg.get("noise_std", 0.001)
+    return pc + (rng.standard_normal(pc.shape) * std).astype(np.float32)
+
+
+def box_in_range(corners, pcd_range):
+    """True iff all 8 corners lie strictly inside the xyz range."""
+    lo_ok = (corners.min(0) > pcd_range[:3]).all()
+    hi_ok = (corners.max(0) < pcd_range[3:]).all()
+    return bool(lo_ok and hi_ok)
+
+
+# --------------------------------------------------------------------------
+# augmentors
+# --------------------------------------------------------------------------
 class Augmentation:
-    """Common augmentation methods (reference augment/augmentation.py:6-133)."""
+    """RNG owner exposing the primitive transforms as bound methods."""
 
     def __init__(self, cfg, seed=None):
         self.cfg = cfg or {}
         self.rng = np.random.default_rng(seed)
 
     def recenter(self, data, cfg):
-        if not cfg:
-            return data
-        dim = cfg.get("dim", [0, 1, 2]) if isinstance(cfg, dict) else [0, 1, 2]
-        data = data.copy()
-        data[:, dim] = data[:, dim] - data.mean(0)[dim]
-        return data
+        return recenter(self.rng, data, cfg)
 
     def normalize(self, pc, feat, cfg):
-        if "points" in cfg:
-            cfg_p = cfg["points"]
-            if cfg_p.get("method", "linear") == "linear":
-                pc = pc - pc.mean(0)
-                pc = pc / (pc.max(0) - pc.min(0)).max()
-            else:
-                raise ValueError(
-                    f"Unsupported method : {cfg_p.get('method')}")
-        if "feat" in cfg and feat is not None:
-            cfg_f = cfg["feat"]
-            if cfg_f.get("method", "linear") == "linear":
-                feat = (feat - cfg_f.get("bias", 0)) / cfg_f.get("scale", 1)
-            else:
-                raise ValueError(
-                    f"Unsupported method : {cfg_f.get('method')}")
-        return pc, feat
+        return normalize(self.rng, pc, feat, cfg)
 
     def rotate(self, pc, cfg):
-        """Random yaw ('vertical') or uniform SO(3) ('all') rotation."""
-        if np.abs(pc[:, :2].mean()) > 1e-2:
-            warnings.warn(
-                "It is recommended to recenter the pointcloud before "
-                "calling rotate.")
-        method = cfg.get("method", "vertical")
-        if method == "vertical":
-            theta = self.rng.random() * 2 * np.pi
-            c, s = np.cos(theta), np.sin(theta)
-            rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
-                           dtype=np.float32)
-        elif method == "all":
-            theta = self.rng.random() * 2 * np.pi
-            phi = (self.rng.random() - 0.5) * np.pi
-            u = np.array([
-                np.cos(theta) * np.cos(phi),
-                np.sin(theta) * np.cos(phi),
-                np.sin(phi),
-            ])
-            alpha = self.rng.random() * 2 * np.pi
-            rot = npo.create_3D_rotations(
-                u.reshape(1, -1), np.reshape(alpha, (1,)))[0]
-        else:
-            raise ValueError(f"Unsupported method : {method}")
-        return np.matmul(pc, rot.astype(np.float32))
+        return rotate(self.rng, pc, cfg)
 
     def scale(self, pc, cfg):
-        anisotropic = cfg.get("scale_anisotropic", False)
-        min_s = cfg.get("min_s", 1.0)
-        max_s = cfg.get("max_s", 1.0)
-        if anisotropic:
-            factor = self.rng.random(pc.shape[1]) * (max_s - min_s) + min_s
-        else:
-            factor = self.rng.random() * (max_s - min_s) + min_s
-        return pc * factor
+        return scale(self.rng, pc, cfg)
 
     def noise(self, pc, cfg):
-        noise_std = cfg.get("noise_std", 0.001)
-        noise = (self.rng.standard_normal(pc.shape) * noise_std).astype(
-            np.float32)
-        return pc + noise
+        return noise(self.rng, pc, cfg)
 
     def augment(self, data):
-        raise NotImplementedError(
-            "Please use ObjdetAugmentation.")
+        raise NotImplementedError("Please use ObjdetAugmentation.")
 
 
 class ObjdetAugmentation(Augmentation):
-    """Object-detection augmentor (reference augment/augmentation.py:136-220)."""
-
-    ALL_METHODS = [
-        "recenter", "normalize", "rotate", "scale", "noise", "PointShuffle",
-        "ObjectRangeFilter", "ObjectSample",
-    ]
+    """Detection augmentor: applies the configured transforms in the
+    reference's fixed order (recenter, normalize, rotate, scale,
+    ObjectRangeFilter, PointShuffle)."""
 
     def __init__(self, cfg, seed=None):
         super().__init__(cfg, seed=seed)
-        for method in (cfg or {}):
-            if method not in self.ALL_METHODS:
-                warnings.warn(
-                    f"Augmentation method : {method} does not exist. "
-                    "Please verify!")
+        for name in (cfg or {}):
+            if name not in KNOWN_METHODS:
+                warnings.warn(f"Augmentation method : {name} does not "
+                              "exist. Please verify!")
 
     def PointShuffle(self, data):
         data["point"] = npo.point_shuffle(data["point"], self.rng)
@@ -116,33 +150,24 @@ class ObjdetAugmentation(Augmentation):
 
     @staticmethod
     def in_range(pcd_range, corners):
-        return ((corners[:, 0].min() > pcd_range[0])
-                & (corners[:, 0].max() < pcd_range[3])
-                & (corners[:, 1].min() > pcd_range[1])
-                & (corners[:, 1].max() < pcd_range[4])
-                & (corners[:, 2].min() > pcd_range[2])
-                & (corners[:, 2].max() < pcd_range[5]))
+        return box_in_range(corners, np.asarray(pcd_range))
 
     def ObjectRangeFilter(self, data, pcd_range):
-        """Keep only boxes whose rotated corners stay inside the range."""
-        pcd_range = np.array(pcd_range)
-        filtered = [
-            box for box in data["bboxes"]
-            if self.in_range(pcd_range, npo.bbox2corners3D_np(box))
-        ]
-        return {
-            "point": data["point"],
-            "labels": data["labels"],
-            "bboxes": np.array(filtered).reshape(-1, 9)
-            if len(filtered) else np.zeros((0, 9), np.float32),
-        }
+        """Drop GT boxes whose rotated corners leave the scene range."""
+        pcd_range = np.asarray(pcd_range)
+        kept = [b for b in data["bboxes"]
+                if box_in_range(npo.bbox2corners3D_np(b), pcd_range)]
+        boxes = (np.array(kept).reshape(-1, 9) if kept
+                 else np.zeros((0, 9), np.float32))
+        return {"point": data["point"], "labels": data["labels"],
+                "bboxes": boxes}
 
     def augment(self, data, attr, seed=None):
         cfg = self.cfg
         if cfg is None:
             return data
         if seed is not None:
-            # per-worker override for reproducibility with parallel loading
+            # per-worker RNG override keeps parallel loading reproducible
             self.rng = np.random.default_rng(seed)
 
         if cfg.get("recenter"):
