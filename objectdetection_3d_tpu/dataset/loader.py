@@ -9,25 +9,46 @@ overlaps host preprocessing with device compute (the TPU analog of
 
 import queue
 import threading
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 
 class PreprocessedDataset:
     """Applies model preprocess/transform per item
-    (reference TorchDataloader, dataset/dataloaders.py:85-139)."""
+    (reference TorchDataloader, dataset/dataloaders.py:85-139).
 
-    def __init__(self, dataset=None, preprocess=None, transform=None):
+    When ``seed`` is given, every item gets its own RNG derived from
+    ``(seed, epoch, index)`` and passed to ``preprocess`` — augmentation is
+    then reproducible regardless of worker count or scheduling order (the
+    reference reseeds per forked worker, pipeline/pipeline.py:462-466; the
+    per-item stream is the stronger guarantee a thread pool needs).
+    Call ``set_epoch`` each epoch so augmentations differ across epochs.
+    """
+
+    def __init__(self, dataset=None, preprocess=None, transform=None,
+                 seed=None):
         self.dataset = dataset
         self.preprocess = preprocess
         self.transform = transform
+        self.seed = seed
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = int(epoch)
 
     def __getitem__(self, index):
         dataset = self.dataset
         index = index % len(dataset)
         attr = dataset.get_attr(index)
         if self.preprocess:
-            data = self.preprocess(dataset.get_data(index), attr)
+            if self.seed is not None:
+                rng = np.random.default_rng(
+                    [int(self.seed), self.epoch, index])
+                data = self.preprocess(dataset.get_data(index), attr,
+                                       rng=rng)
+            else:
+                data = self.preprocess(dataset.get_data(index), attr)
         else:
             data = dataset.get_data(index)
         if self.transform is not None:
@@ -136,15 +157,26 @@ class StaticBatcher:
 
 
 class DataLoader:
-    """Batched iterator with background-thread prefetch."""
+    """Batched iterator with background-thread prefetch.
+
+    ``num_workers > 1`` fetches the items of each batch through a thread
+    pool (the analog of the reference's ``DataLoader(num_workers=4)`` forked
+    workers, pipeline/pipeline.py:458-466).  Threads give real parallelism
+    here because the heavy per-item work — ``np.load`` IO and the native
+    C++ preprocessing pass — releases the GIL; per-item RNG seeding in
+    ``PreprocessedDataset`` keeps results identical for any worker count.
+    """
 
     def __init__(self, dataset, batcher, batch_size=1, prefetch=2,
-                 drop_last=False):
+                 drop_last=False, num_workers=0):
         self.dataset = dataset
         self.batcher = batcher
         self.batch_size = int(batch_size)
         self.prefetch = int(prefetch)
         self.drop_last = drop_last
+        self.num_workers = int(num_workers or 0)
+        self._pool = (ThreadPoolExecutor(max_workers=self.num_workers)
+                      if self.num_workers > 1 else None)
 
     def __len__(self):
         n = len(self.dataset)
@@ -163,6 +195,9 @@ class DataLoader:
 
     def __iter__(self):
         batches = self._indices()
+        if self._pool is not None:
+            yield from self._iter_pooled(batches)
+            return
         if self.prefetch <= 0:
             for bidx in batches:
                 yield self._make(bidx)
@@ -187,8 +222,43 @@ class DataLoader:
             yield item
         t.join()
 
+    def _iter_pooled(self, batches):
+        """Pool-backed iteration: per-ITEM futures are kept in flight across
+        batch boundaries, so workers stay busy even at batch_size 1.
+        Batches are yielded strictly in order; collate stays on the consumer
+        thread (the batcher's subsampling RNG is therefore race-free)."""
+        from collections import deque
+
+        depth = self.num_workers + max(self.prefetch, 1) * self.batch_size
+        pending = deque()   # (bidx, [item futures])
+        inflight = 0
+        it = iter(batches)
+        try:
+            while True:
+                while inflight < depth:
+                    try:
+                        bidx = next(it)
+                    except StopIteration:
+                        break
+                    futs = [self._pool.submit(self.dataset.__getitem__, i)
+                            for i in bidx]
+                    inflight += len(futs)
+                    pending.append(futs)
+                if not pending:
+                    break
+                futs = pending.popleft()
+                items = [f.result() for f in futs]
+                inflight -= len(futs)
+                yield self._finish(items)
+        finally:
+            while pending:
+                for f in pending.popleft():
+                    f.cancel()
+
     def _make(self, bidx):
-        items = [self.dataset[i] for i in bidx]
+        return self._finish([self.dataset[i] for i in bidx])
+
+    def _finish(self, items):
         # short batches are padded by repeating the last item; the repeats
         # are flagged so metrics/losses can ignore them
         pad = self.batch_size - len(items)

@@ -284,9 +284,11 @@ class ObjectDetection(BasePipeline):
         split = PreprocessedDataset(
             dataset=self.dataset.get_split(split_name),
             preprocess=self.model.preprocess,
-            transform=self.model.transform)
+            transform=self.model.transform,
+            seed=self.cfg.get("seed", 0))
         loader = DataLoader(split, self.batcher, batch_size=batch_size,
-                            prefetch=2)
+                            prefetch=2,
+                            num_workers=self.cfg.get("num_workers", 0))
         eval_fn = self._ensure_eval_fn()
 
         losses_acc = {}
@@ -409,10 +411,12 @@ class ObjectDetection(BasePipeline):
         train_split = PreprocessedDataset(
             dataset=self.dataset.get_split("training"),
             preprocess=self.model.preprocess,
-            transform=self.model.transform)
+            transform=self.model.transform,
+            seed=self.cfg.get("seed", 0))
         train_loader = DataLoader(
             train_split, self.batcher,
-            batch_size=self.cfg.get("training_batch_size", 1), prefetch=2)
+            batch_size=self.cfg.get("training_batch_size", 1), prefetch=2,
+            num_workers=self.cfg.get("num_workers", 0))
 
         self.optimizer = self.model.get_optimizer(
             dict(self.cfg.get("optimizer", {})),
@@ -441,6 +445,7 @@ class ObjectDetection(BasePipeline):
             log.info(f"================================ EPOCH {epoch:d}/"
                      f"{self.cfg.get('max_epoch', 1):d} "
                      f"================================")
+            train_split.set_epoch(epoch)  # fresh augmentation stream
             self.losses = {}
             process_bar = tqdm(train_loader, desc="training")
             for batch in process_bar:

@@ -135,3 +135,48 @@ def test_padded_items_excluded_from_loss():
     for k in losses1:
         np.testing.assert_allclose(float(losses2[k]), float(losses1[k]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def _augmenting_preprocess(data, attr, rng=None):
+    """Test double: rng-dependent jitter so worker scheduling shows up."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    pts = np.asarray(data["point"], np.float32)
+    out = dict(data)
+    out["point"] = pts + rng.standard_normal(pts.shape).astype(np.float32)
+    return out
+
+
+def _collect(forest_dir, num_workers, epoch=0, batch_size=2):
+    ds = Forest3D(dataset_path=str(forest_dir), name="Forest3D")
+    split = PreprocessedDataset(dataset=ds.get_split("training"),
+                                preprocess=_augmenting_preprocess, seed=7)
+    split.set_epoch(epoch)
+    batcher = StaticBatcher(max_points=1024, max_gt=4, num_features=4)
+    loader = DataLoader(split, batcher, batch_size=batch_size, prefetch=2,
+                        num_workers=num_workers)
+    return [b.arrays["points"].copy() for b in loader]
+
+
+def test_pooled_loader_matches_serial(forest_dir):
+    """num_workers>1 must produce byte-identical batches (per-item seeded
+    RNG makes augmentation independent of worker scheduling)."""
+    serial = _collect(forest_dir, num_workers=0)
+    pooled = _collect(forest_dir, num_workers=4)
+    assert len(serial) == len(pooled)
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_pooled_loader_epoch_changes_stream(forest_dir):
+    e0 = _collect(forest_dir, num_workers=4, epoch=0)
+    e1 = _collect(forest_dir, num_workers=4, epoch=1)
+    assert any((a != b).any() for a, b in zip(e0, e1))
+
+
+def test_pooled_loader_batch_size_one(forest_dir):
+    """Cross-batch parallelism path: items stay in flight across batches."""
+    serial = _collect(forest_dir, num_workers=0, batch_size=1)
+    pooled = _collect(forest_dir, num_workers=3, batch_size=1)
+    assert len(serial) == len(pooled) == 2
+    for a, b in zip(serial, pooled):
+        np.testing.assert_array_equal(a, b)

@@ -1,0 +1,271 @@
+"""Stage-level profiling of flagship inference on the real chip.
+
+Usage: python tools/profile_stages.py [section ...]
+Sections: vox fwd pfn enc rpn tail s1 sparse
+Each timing is a separate jit program; first call includes (remote) compile.
+Timings use a forced scalar readback (block_until_ready no-ops on axon);
+every number therefore carries ~27 ms of RPC sync overhead.
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, ".")
+
+SECTIONS = set(sys.argv[1:]) or {"vox", "fwd", "enc", "rpn", "tail"}
+
+
+def sync(out):
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
+def timed(name, fn, *args, reps=5):
+    t0 = time.time()
+    out = fn(*args)
+    sync(out)
+    first = time.time() - t0
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        sync(out)
+        ts.append(time.time() - t0)
+    med = float(np.median(ts)) * 1000
+    print(f"{name:44s} {med:9.2f} ms   (first call {first:.1f}s)",
+          flush=True)
+    return med
+
+
+import __graft_entry__ as g  # noqa: E402
+from objectdetection_3d_tpu.models import PointPillars  # noqa: E402
+
+model = PointPillars(**g._flagship_cfg())
+variables = model.init_variables(jax.random.PRNGKey(0))
+batch = g._synth_batch(1, model.tpu_cfg["max_points_static"],
+                       model.tpu_cfg["max_gt_static"],
+                       model.point_cloud_range)
+D, H, W = model.grid_dhw
+V = model.tpu_cfg["max_voxels_static"]
+BF = jnp.bfloat16
+print(f"backend={jax.default_backend()} grid={(D, H, W)} V={V}", flush=True)
+
+
+def synth_grid(c, occupancy=0.0075, seed=0):
+    """Generated ON DEVICE: a host-side grid is ~1.3 GB and takes minutes
+    to push through the axon tunnel."""
+    @partial(jax.jit, static_argnames=("c",))
+    def make(key, c):
+        k1, k2 = jax.random.split(key)
+        m = (jax.random.uniform(k1, (1, D, H, W)) < occupancy).astype(BF)
+        x = jax.random.normal(k2, (1, D, H, W, c), BF) * m[..., None]
+        return x, m
+    x, m = make(jax.random.PRNGKey(seed), c)
+    sync(x)
+    return x, m
+
+
+if "vox" in SECTIONS:
+    fn = jax.jit(lambda p, n: model.voxelize_batch(p, n))
+    timed("voxelize", fn, batch["points"], batch["num_points"], reps=10)
+
+if "fwd" in SECTIONS:
+    pvars = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False)[0])
+    timed("full forward (vox+net)", fwd, pvars, batch)
+    predict = model.make_predict_fn()
+    timed("full predict (fwd+decode+NMS)", predict, pvars, batch)
+
+if "pfn" in SECTIONS:
+    from objectdetection_3d_tpu.models.layers import PillarFeatureNet
+
+    vox = jax.jit(lambda p, n: model.voxelize_batch(p, n))(
+        batch["points"], batch["num_points"])
+    sync(vox["voxels"])
+    pfn = PillarFeatureNet(
+        feat_channels=(20,), voxel_size=(0.1, 0.1, 0.3),
+        point_cloud_range=tuple(model.point_cloud_range), dtype=BF)
+    pv = {"params": variables["params"]["voxel_encoder"],
+          "batch_stats": variables["batch_stats"]["voxel_encoder"]}
+
+    def pfn_scatter(pv, vox):
+        f = pfn.apply(pv, vox["voxels"][0], vox["num_points_per_voxel"][0],
+                      vox["coords"][0], vox["voxel_mask"][0], False)
+        f = f.astype(BF)
+        fm = vox["voxel_mask"][0]
+        zi = jnp.where(fm, vox["coords"][0][:, 0], D)
+        yi = jnp.where(fm, vox["coords"][0][:, 1], H)
+        xi = jnp.where(fm, vox["coords"][0][:, 2], W)
+        grid = jnp.zeros((D, H, W, f.shape[-1]), BF).at[zi, yi, xi].set(
+            f, mode="drop", unique_indices=True, indices_are_sorted=True)
+        return grid
+
+    timed("PFN + scatter", jax.jit(pfn_scatter), pv, vox)
+
+if "enc" in SECTIONS:
+    from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
+
+    full = (20, 32, 64, 128, 196)
+    grid, mask = synth_grid(20)
+    for k in range(1, len(full) + 1):
+        enc = SparseMiddleExtractor(in_channels=20,
+                                    out_channels=full[:k], dtype=BF)
+        ev = enc.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, D, 16, 16, 20), BF),
+                      jnp.ones((1, D, 16, 16), BF), False)
+        fn = jax.jit(lambda v, x, m, e=enc: e.apply(v, x, m, False)[0])
+        timed(f"encoder stages 1..{k}", fn, ev, grid, mask)
+
+if "rpn" in SECTIONS:
+    from objectdetection_3d_tpu.models.layers import SubmanifoldSparseRPN
+
+    rpn = SubmanifoldSparseRPN(out_channels=(196, 128, 128),
+                               layer_nums=(1, 1, 1), dtype=BF)
+    x = jax.jit(lambda k: jax.random.normal(k, (1, H, W, 392), BF))(
+        jax.random.PRNGKey(0))
+    m = jnp.ones((1, H, W), BF)
+    sync(x)
+    rv = rpn.init(jax.random.PRNGKey(0), x[:, :16, :16], m[:, :16, :16],
+                  False)
+    fn = jax.jit(lambda v, x, m: rpn.apply(v, x, m, False))
+    timed("RPN (6 convs, 392->...->128)", fn, rv, x, m)
+
+if "tail" in SECTIONS:
+    A = model.num_anchors
+
+    @jax.jit
+    def make_tail(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return (jax.random.normal(k1, (1, H, W, A * 1)),
+                jax.random.normal(k2, (1, H, W, A * 9)) * 0.05,
+                jax.random.normal(k3, (1, H, W, A * 6)))
+
+    cls, reg, dirs = make_tail(jax.random.PRNGKey(0))
+    sync(cls)
+
+    def tail(cls, reg, dirs, anchors):
+        return jax.vmap(model._predict_single,
+                        in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
+
+    fn = jax.jit(tail)
+    timed("decode + NMS tail", fn, cls, reg, dirs, model.anchors)
+
+if "s1" in SECTIONS:
+    # stage-1 subm conv formulations, 20 -> 20 channels on the full grid
+    grid, mask = synth_grid(20)
+    kern = jnp.asarray(
+        np.random.standard_normal((3, 3, 3, 20, 20)) * 0.1, BF)
+
+    def xla3d(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    timed("s1 conv3d XLA NDHWC", jax.jit(xla3d), grid, kern)
+
+    def decomp(x, k):
+        b, d, h, w, c = x.shape
+        flat = x.reshape(b * d, h, w, c)
+        outs = []
+        for i in range(3):
+            y = jax.lax.conv_general_dilated(
+                flat, k[i], (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            outs.append(y.reshape(b, d, h, w, -1))
+        zero = jnp.zeros_like(outs[0][:, :1])
+        return (jnp.concatenate([zero, outs[0][:, :-1]], 1) + outs[1]
+                + jnp.concatenate([outs[2][:, 1:], zero], 1))
+
+    timed("s1 conv3d decomposed 2D", jax.jit(decomp), grid, kern)
+
+    def fold_kernel(k):
+        """(3,3,3,C,Co) -> (3,3,3,4C,4Co) space-to-depth folded over H,W."""
+        k = np.asarray(k, np.float32)
+        c, co = k.shape[3], k.shape[4]
+        kf = np.zeros((3, 3, 3, 4, c, 4, co), np.float32)
+        for a in range(2):       # output sub-row
+            for bb in range(2):  # output sub-col
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        t, u = a + dy, bb + dx
+                        p, a2 = t >> 1, t & 1
+                        q, b2 = u >> 1, u & 1
+                        kf[:, p + 1, q + 1, a2 * 2 + b2, :,
+                           a * 2 + bb, :] += k[:, dy + 1, dx + 1]
+        return jnp.asarray(kf.reshape(3, 3, 3, 4 * c, 4 * co), BF)
+
+    kf = fold_kernel(kern)
+
+    def s2d(x, kf):
+        b, d, h, w, c = x.shape
+        xf = x.reshape(b, d, h // 2, 2, w // 2, 2, c)
+        xf = xf.transpose(0, 1, 2, 4, 3, 5, 6).reshape(
+            b, d, h // 2, w // 2, 4 * c)
+        y = jax.lax.conv_general_dilated(
+            xf, kf, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y = y.reshape(b, d, h // 2, w // 2, 2, 2, c)
+        return y.transpose(0, 1, 2, 4, 3, 5, 6).reshape(b, d, h, w, c)
+
+    timed("s1 conv3d space-to-depth 2x2", jax.jit(s2d), grid, kf)
+
+    if jax.default_backend() == "tpu":
+        from objectdetection_3d_tpu.ops.pallas_conv import subm_conv3d_pallas
+
+        timed("s1 pallas im2col", jax.jit(subm_conv3d_pallas), grid, kern)
+
+if "sparse" in SECTIONS:
+    from objectdetection_3d_tpu.ops import sparse_conv as sc
+
+    rng = np.random.default_rng(0)
+    ids = np.sort(rng.choice(D * H * W, size=V, replace=False)).astype(
+        np.int32)
+    xo = ids % W
+    yo = (ids // W) % H
+    zo = ids // (W * H)
+    coords = jnp.asarray(np.stack([zo, yo, xo], -1), jnp.int32)
+    cell_flat = jnp.asarray(ids)
+    amask = jnp.ones((V,), bool)
+    feats = jnp.asarray(rng.standard_normal((V, 20)), BF)
+    kern = jnp.asarray(np.random.standard_normal((3, 3, 3, 20, 20)) * 0.1,
+                       BF)
+
+    fn = jax.jit(lambda f, c, cf, m, k: sc.subm_conv3d_sparse(
+        f, c, cf, m, k, (D, H, W)))
+    timed("sparse subm conv 20->20 (V=120k)", fn, feats, coords, cell_flat,
+          amask, kern)
+
+    def lookups_only(c, cf, m):
+        z, y, x = c[:, 0], c[:, 1], c[:, 2]
+        acc = jnp.zeros((V,), jnp.int32)
+        sentinel = jnp.int32(W * H * D)
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    zz, yy, xx = z + dz, y + dy, x + dx
+                    ok = (m & (zz >= 0) & (zz < D) & (yy >= 0) & (yy < H)
+                          & (xx >= 0) & (xx < W))
+                    q = jnp.where(ok, (zz * H + yy) * W + xx, sentinel)
+                    idx, found = sc._neighbor_lookup(cf, q)
+                    acc += idx * found
+        return acc
+
+    timed("sparse: 27x searchsorted only", jax.jit(lookups_only), coords,
+          cell_flat, amask)
+
+    idx0 = jnp.asarray(rng.integers(0, V, size=(27, V)), jnp.int32)
+
+    def gathers_only(f, idx):
+        outs = [f[idx[k]] for k in range(27)]
+        return sum(outs)
+
+    timed("sparse: 27x row gather only", jax.jit(gathers_only), feats, idx0)
