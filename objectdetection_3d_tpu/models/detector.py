@@ -155,8 +155,8 @@ class PointPillars(BaseModel):
             sparse_middle=bool(self.tpu_cfg.get("sparse_middle", False)),
             sparse_budget=int(self.tpu_cfg.get("sparse_budget", 0)),
             remat=bool(self.tpu_cfg.get("remat", False)),
-            decompose_convs=bool(
-                self.tpu_cfg.get("decompose_convs", False)),
+            # bool = all stages; int n = first n stages only
+            decompose_convs=self.tpu_cfg.get("decompose_convs", False),
             pallas_subm=bool(
                 self.tpu_cfg.get("pallas_subm_conv", False)),
         )

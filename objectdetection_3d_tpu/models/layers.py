@@ -219,18 +219,26 @@ class SparseMiddleExtractor(nn.Module):
     in_channels: int
     out_channels: Sequence[int]
     dtype: jnp.dtype = jnp.float32
+    # True/False applies to every stage; an int n decomposes only the first
+    # n stages (the small-channel stages where z-sliced 2D convs beat the
+    # native conv3d lowering) and keeps conv3d for the rest
     decompose_convs: bool = False
     # inference-only Pallas im2col kernel for small-channel subm convs
     # (no VJP; the training path keeps the XLA conv)
     pallas_subm: bool = False
 
-    def _subm_conv3d(self, x, ch, name, train=True):
+    def _decompose_stage(self, stage):
+        if isinstance(self.decompose_convs, bool):
+            return self.decompose_convs
+        return stage < int(self.decompose_convs)
+
+    def _subm_conv3d(self, x, ch, name, train=True, stage=0):
         """3x3x3 SAME conv.
 
         Two equivalent lowerings behind ``decompose_convs``: the native XLA
-        3D conv (default — fuses best in the full program) or three
-        z-shifted 2D convs (faster in isolation at small channel widths).
-        Parameter name/shape are identical either way.
+        3D conv (fuses best at wide channels) or three z-shifted 2D convs
+        (~3x faster at C<=32 on v5e, and the lowering that fits batched
+        training in HBM).  Parameter name/shape are identical either way.
         """
         b, d, h, w, c = x.shape
         kernel = self.param(
@@ -243,7 +251,7 @@ class SparseMiddleExtractor(nn.Module):
                 subm_conv3d_pallas)
 
             return subm_conv3d_pallas(x, kernel)
-        if not self.decompose_convs:
+        if not self._decompose_stage(stage):
             return jax.lax.conv_general_dilated(
                 x, kernel.astype(x.dtype), (1, 1, 1), "SAME",
                 dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
@@ -264,7 +272,7 @@ class SparseMiddleExtractor(nn.Module):
         return (jnp.concatenate([zero, y0[:, :-1]], axis=1) + y1
                 + jnp.concatenate([y2[:, 1:], zero], axis=1))
 
-    def _down_conv_z(self, x, ch, name):
+    def _down_conv_z(self, x, ch, name, stage=0):
         """(3,1,1)-kernel (2,1,1)-stride VALID conv over z."""
         b, d, h, w, c = x.shape
         d_out = (d - 3) // 2 + 1
@@ -272,7 +280,7 @@ class SparseMiddleExtractor(nn.Module):
             name,
             nn.initializers.lecun_normal(),
             (3, c, ch))
-        if not self.decompose_convs:
+        if not self._decompose_stage(stage):
             return jax.lax.conv_general_dilated(
                 x, kernel.reshape(3, 1, 1, c, ch).astype(x.dtype),
                 (2, 1, 1), "VALID",
@@ -298,13 +306,14 @@ class SparseMiddleExtractor(nn.Module):
         x = grid.astype(self.dtype)
         mask = mask.astype(self.dtype)
         for i, ch in enumerate(self.out_channels):
-            x = self._subm_conv3d(x, ch, f"subm_{i}_kernel", train)
+            x = self._subm_conv3d(x, ch, f"subm_{i}_kernel", train,
+                                  stage=i)
             x = x * mask[..., None]
             x = MaskedBatchNorm(name=f"subm_bn_{i}")(x, mask[..., None],
                                                      train)
             x = nn.relu(x)
 
-            x = self._down_conv_z(x, ch, f"down_{i}_kernel")
+            x = self._down_conv_z(x, ch, f"down_{i}_kernel", stage=i)
             mask = jax.lax.reduce_window(
                 mask, -jnp.inf, jax.lax.max,
                 (1, 3, 1, 1), (1, 2, 1, 1), "VALID")

@@ -58,7 +58,9 @@ class PointPillarsNet(nn.Module):
     remat: bool = False
     # lower 3D convs as z-shifted 2D convs: halves the lane-padding waste
     # of the (..., C=20) grid buffers (XLA pads C to 128); needed to fit
-    # full-scale training in HBM, slightly slower for inference
+    # full-scale training in HBM.  bool = all stages, int n = first n
+    # stages (the small-channel stages, where the 2D lowering is ~3x
+    # faster; wide stages fuse better as native conv3d)
     decompose_convs: bool = False
     pallas_subm: bool = False
 

@@ -19,6 +19,7 @@ import flax.linen as nn
 
 from objectdetection_3d_tpu.models.layers import MaskedBatchNorm
 from objectdetection_3d_tpu.ops.sparse_conv import (
+    build_index_map,
     downsample_z_active_set,
     scatter_pseudo_image,
     strided_z_conv_sparse,
@@ -48,6 +49,9 @@ class SparseMiddleExtractorGather(nn.Module):
         """
         x = feats.astype(self.dtype)
         grid = tuple(self.grid)
+        # one dense index map per active set, shared by the stage's subm
+        # and strided convs (the scatter is the map's only cost)
+        index_map = jax.vmap(lambda cf: build_index_map(cf, grid))(cell_flat)
         for i, ch in enumerate(self.out_channels):
             c_in = x.shape[-1]
             k_subm = self.param(f"subm_{i}_kernel",
@@ -55,7 +59,7 @@ class SparseMiddleExtractorGather(nn.Module):
                                 (3, 3, 3, c_in, ch))
             x = jax.vmap(subm_conv3d_sparse,
                          in_axes=(0, 0, 0, 0, None, None))(
-                x, coords, cell_flat, active_mask, k_subm, grid)
+                x, coords, index_map, active_mask, k_subm, grid)
             x = MaskedBatchNorm(name=f"subm_bn_{i}")(
                 x, active_mask[..., None], train)
             x = nn.relu(x)
@@ -67,13 +71,15 @@ class SparseMiddleExtractorGather(nn.Module):
                                 nn.initializers.lecun_normal(),
                                 (3, ch, ch))
             x = jax.vmap(strided_z_conv_sparse,
-                         in_axes=(0, 0, 0, 0, 0, None, None))(
-                x, cell_flat, new["coords"], new["cell_flat"],
-                new["active_mask"], k_down, grid)
+                         in_axes=(0, 0, 0, 0, None, None))(
+                x, index_map, new["coords"], new["active_mask"],
+                k_down, grid)
             coords = new["coords"]
             cell_flat = new["cell_flat"]
             active_mask = new["active_mask"]
             grid = ((grid[0] - 3) // 2 + 1, grid[1], grid[2])
+            index_map = jax.vmap(
+                lambda cf, g=grid: build_index_map(cf, g))(cell_flat)
 
             x = MaskedBatchNorm(name=f"down_bn_{i}")(
                 x, active_mask[..., None], train)

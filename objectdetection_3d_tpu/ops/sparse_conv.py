@@ -4,9 +4,14 @@ The dense-masked vertical encoder computes the full 400x400x100 grid even
 though forest scenes occupy well under 1% of it.  These primitives exploit
 that sparsity *structurally*, the TPU way: no hash maps or CUDA gather
 kernels (spconv's approach, reference model/PointPillars.py:529-573) —
-instead the active cells stay sorted by flat id, neighbor lookup is a
-vectorized binary search (``searchsorted``), and each conv becomes one
-dense ``(V, K*C) @ (K*C, C_out)`` matmul that the MXU loves.
+instead neighbor lookup goes through a dense int32 cell->row index map
+(one sorted scatter per active set, then plain gathers), and each conv
+becomes one dense ``(V, K*C) @ (K*C, C_out)`` matmul that the MXU loves.
+
+Measured on v5e: 27 ``searchsorted`` neighbor lookups cost ~390 ms/conv
+(binary search lowers to a 17-step gather loop) while the same lookups
+through the dense index map are pure gathers — the map approach is what
+makes this path competitive with the dense encoder.
 
 Semantics are identical to the dense-masked path (and to spconv):
 
@@ -35,12 +40,31 @@ def flatten_cells(coords, grid_dhw):
     return jnp.where(valid, flat, sentinel).astype(jnp.int32)
 
 
-def _neighbor_lookup(cell_flat, query_flat):
-    """Indices of query ids inside the sorted active id array.
+def build_index_map(cell_flat, grid_dhw):
+    """Dense cell-id -> active-row index map.
+
+    One sorted-unique scatter of the active rows; inactive cells (and the
+    extra sentinel slot at the end) hold V, which addresses the zero pad
+    row the gather helpers append to the feature table.
 
     Args:
-        cell_flat: (V,) sorted active ids (padding rows = sentinel).
-        query_flat: (...,) ids to find (sentinel for invalid queries).
+        cell_flat: (V,) sorted flat ids (sentinel ``D*H*W`` for padding).
+        grid_dhw: static (D, H, W).
+    Returns:
+        (D*H*W + 1,) int32 map; ``map[q]`` is the feature row of cell q,
+        V when q is inactive or q == D*H*W (the query sentinel).
+    """
+    d, h, w = grid_dhw
+    v = cell_flat.shape[0]
+    return jnp.full((d * h * w + 1,), v, jnp.int32).at[cell_flat].set(
+        jnp.arange(v, dtype=jnp.int32), mode="drop",
+        unique_indices=True, indices_are_sorted=True)
+
+
+def _neighbor_lookup(cell_flat, query_flat):
+    """Binary-search fallback (kept for oracle tests): indices of query ids
+    inside the sorted active id array.
+
     Returns:
         (idx, found): idx in [0, V) (clipped), found bool.
     """
@@ -51,14 +75,15 @@ def _neighbor_lookup(cell_flat, query_flat):
     return pos_c, found
 
 
-def subm_conv3d_sparse(feats, coords, cell_flat, active_mask, kernel,
+def subm_conv3d_sparse(feats, coords, index_map, active_mask, kernel,
                        grid_dhw):
     """3x3x3 submanifold conv on a sorted sparse active set.
 
     Args:
         feats: (V, C) active-site features (padding rows zero).
         coords: (V, 3) int (z, y, x).
-        cell_flat: (V,) sorted flat ids (sentinel padding).
+        index_map: dense lookup from :func:`build_index_map` for this
+            active set.
         active_mask: (V,) validity.
         kernel: (3, 3, 3, C, C_out) weights, layout [dz, dy, dx].
         grid_dhw: static (D, H, W).
@@ -69,6 +94,9 @@ def subm_conv3d_sparse(feats, coords, cell_flat, active_mask, kernel,
     v, c = feats.shape
     co = kernel.shape[-1]
     sentinel = jnp.int32(w * h * d)
+
+    # row V is an all-zero pad: missing neighbors contribute nothing
+    feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
 
     z, y, x = coords[:, 0], coords[:, 1], coords[:, 2]
     gathered = []
@@ -81,12 +109,10 @@ def subm_conv3d_sparse(feats, coords, cell_flat, active_mask, kernel,
                       & (yy >= 0) & (yy < h)
                       & (xx >= 0) & (xx < w))
                 q = jnp.where(ok, (zz * h + yy) * w + xx, sentinel)
-                idx, found = _neighbor_lookup(cell_flat, q)
-                f = feats[idx] * found[:, None].astype(feats.dtype)
-                gathered.append(f)
+                gathered.append(feats_pad[index_map[q]])
 
     stacked = jnp.concatenate(gathered, axis=-1)        # (V, 27*C)
-    wmat = kernel.transpose(0, 1, 2, 3, 4).reshape(27 * c, co)
+    wmat = kernel.reshape(27 * c, co)
     out = jnp.dot(stacked, wmat.astype(feats.dtype),
                   preferred_element_type=jnp.float32).astype(feats.dtype)
     return out * active_mask[:, None].astype(feats.dtype)
@@ -142,15 +168,16 @@ def downsample_z_active_set(coords, active_mask, grid_dhw, out_budget):
             "active_mask": mask, "grid": (d_out, h, w)}
 
 
-def strided_z_conv_sparse(feats, in_cell_flat, out_coords, out_cell_flat,
-                          out_mask, kernel, grid_dhw):
+def strided_z_conv_sparse(feats, in_index_map, out_coords, out_mask,
+                          kernel, grid_dhw):
     """(3,1,1)-kernel (2,1,1)-stride VALID sparse conv.
 
     Args:
         feats: (V, C) input features on the input active set.
-        in_cell_flat: (V,) sorted input ids (input grid raster).
+        in_index_map: dense lookup over the INPUT active set
+            (:func:`build_index_map`).
         out_coords: (V', 3) output (z', y, x).
-        out_cell_flat / out_mask: output active set bookkeeping.
+        out_mask: (V',) output active-set validity.
         kernel: (3, C, C_out), tap k reads input z = 2z'+k.
         grid_dhw: static INPUT grid (D, H, W).
     Returns:
@@ -161,14 +188,15 @@ def strided_z_conv_sparse(feats, in_cell_flat, out_coords, out_cell_flat,
     co = kernel.shape[-1]
     sentinel = jnp.int32(w * h * d)
 
+    feats_pad = jnp.concatenate([feats, jnp.zeros((1, c), feats.dtype)], 0)
+
     zp, y, x = out_coords[:, 0], out_coords[:, 1], out_coords[:, 2]
     gathered = []
     for k in range(3):
         zi = 2 * zp + k
         ok = out_mask & (zi >= 0) & (zi < d)
         q = jnp.where(ok, (zi * h + y) * w + x, sentinel)
-        idx, found = _neighbor_lookup(in_cell_flat, q)
-        gathered.append(feats[idx] * found[:, None].astype(feats.dtype))
+        gathered.append(feats_pad[in_index_map[q]])
 
     stacked = jnp.concatenate(gathered, axis=-1)          # (V', 3C)
     out = jnp.dot(stacked, kernel.reshape(3 * c, co).astype(feats.dtype),

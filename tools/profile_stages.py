@@ -239,10 +239,27 @@ if "sparse" in SECTIONS:
     kern = jnp.asarray(np.random.standard_normal((3, 3, 3, 20, 20)) * 0.1,
                        BF)
 
-    fn = jax.jit(lambda f, c, cf, m, k: sc.subm_conv3d_sparse(
-        f, c, cf, m, k, (D, H, W)))
-    timed("sparse subm conv 20->20 (V=120k)", fn, feats, coords, cell_flat,
+    imap = jax.jit(lambda cf: sc.build_index_map(cf, (D, H, W)))(cell_flat)
+    sync(imap)
+    fn = jax.jit(lambda f, c, im, m, k: sc.subm_conv3d_sparse(
+        f, c, im, m, k, (D, H, W)))
+    timed("sparse subm conv 20->20 (V=120k)", fn, feats, coords, imap,
           amask, kern)
+    timed("sparse: build_index_map", jax.jit(
+        lambda cf: sc.build_index_map(cf, (D, H, W))), cell_flat)
+
+    from objectdetection_3d_tpu.models.sparse_middle import (
+        SparseMiddleExtractorGather)
+    enc = SparseMiddleExtractorGather(
+        in_channels=20, out_channels=(20, 32, 64, 128, 196),
+        grid=(D, H, W), budget=V, dtype=BF)
+    ev = enc.init(jax.random.PRNGKey(0), feats[None, :256],
+                  coords[None, :256], cell_flat[None, :256],
+                  amask[None, :256], False)
+    fn2 = jax.jit(lambda v, f, c, cf, m, e=enc: e.apply(
+        v, f, c, cf, m, False))
+    timed("sparse encoder FULL (5 stages)", fn2, ev, feats[None],
+          coords[None], cell_flat[None], amask[None])
 
     def lookups_only(c, cf, m):
         z, y, x = c[:, 0], c[:, 1], c[:, 2]
