@@ -159,6 +159,7 @@ class PointPillars(BaseModel):
             decompose_convs=self.tpu_cfg.get("decompose_convs", False),
             pallas_subm=bool(
                 self.tpu_cfg.get("pallas_subm_conv", False)),
+            zfold_convs=bool(self.tpu_cfg.get("zfold_convs", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),
@@ -258,7 +259,9 @@ class PointPillars(BaseModel):
                 candidates_per_gt=int(
                     self.tpu_cfg["assign_candidates_per_gt"]),
                 num_classes=self.num_classes,
-                anchor_aabb=anchor_aabb)
+                anchor_aabb=anchor_aabb,
+                prefilter_block=int(
+                    self.tpu_cfg.get("assign_prefilter_block", 128)))
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
         # padded repeat items (short final batches) carry zero weight so

@@ -63,6 +63,9 @@ class PointPillarsNet(nn.Module):
     # faster; wide stages fuse better as native conv3d)
     decompose_convs: bool = False
     pallas_subm: bool = False
+    # z-fold the encoder's subm convs into wide-channel strided conv3ds
+    # (see SparseMiddleExtractor.zfold_convs)
+    zfold_convs: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
@@ -139,6 +142,7 @@ class PointPillarsNet(nn.Module):
                 dtype=self.dtype,
                 decompose_convs=self.decompose_convs,
                 pallas_subm=self.pallas_subm,
+                zfold_convs=self.zfold_convs,
                 name="pseudoimage_generator",
             )(grid, mask, train)
 

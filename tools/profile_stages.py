@@ -111,6 +111,38 @@ if "pfn" in SECTIONS:
 
     timed("PFN + scatter", jax.jit(pfn_scatter), pv, vox)
 
+    def pfn_only(pv, vox):
+        return pfn.apply(pv, vox["voxels"][0], vox["num_points_per_voxel"][0],
+                         vox["coords"][0], vox["voxel_mask"][0], False)
+
+    feats20 = jax.jit(pfn_only)(pv, vox)
+    sync(feats20)
+    timed("PFN only", jax.jit(pfn_only), pv, vox)
+
+    def scatter_only(f, vox):
+        fm = vox["voxel_mask"][0]
+        zi = jnp.where(fm, vox["coords"][0][:, 0], D)
+        yi = jnp.where(fm, vox["coords"][0][:, 1], H)
+        xi = jnp.where(fm, vox["coords"][0][:, 2], W)
+        return jnp.zeros((D, H, W, f.shape[-1]), BF).at[zi, yi, xi].set(
+            f.astype(BF), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+
+    timed("scatter only", jax.jit(scatter_only), feats20, vox)
+
+    # point-level segment-max prototype cost (the PFN refactor candidate)
+    P = model.tpu_cfg["max_points_static"]
+    y = jax.jit(lambda k: jax.random.normal(k, (P, 20), BF))(
+        jax.random.PRNGKey(1))
+    seg = jnp.sort(jax.random.randint(jax.random.PRNGKey(2), (P,), 0, V))
+    sync(y)
+
+    def segmax(y, seg):
+        return jax.ops.segment_max(y, seg, num_segments=V,
+                                   indices_are_sorted=True)
+
+    timed("segment_max (200k pts -> 120k vox)", jax.jit(segmax), y, seg)
+
 if "enc" in SECTIONS:
     from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
 
@@ -124,6 +156,28 @@ if "enc" in SECTIONS:
                       jnp.ones((1, D, 16, 16), BF), False)
         fn = jax.jit(lambda v, x, m, e=enc: e.apply(v, x, m, False)[0])
         timed(f"encoder stages 1..{k}", fn, ev, grid, mask)
+
+if "encz" in SECTIONS:
+    from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
+
+    full = (20, 32, 64, 128, 196)
+    grid, mask = synth_grid(20)
+    for k in range(1, len(full) + 1):
+        enc = SparseMiddleExtractor(in_channels=20,
+                                    out_channels=full[:k], dtype=BF,
+                                    zfold_convs=True)
+        ev = enc.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, D, 16, 16, 20), BF),
+                      jnp.ones((1, D, 16, 16), BF), False)
+        fn = jax.jit(lambda v, x, m, e=enc: e.apply(v, x, m, False)[0])
+        timed(f"zfold encoder stages 1..{k}", fn, ev, grid, mask)
+
+if "fwdz" in SECTIONS:
+    zmodel = PointPillars(**g._flagship_cfg({"zfold_convs": True}))
+    zvars = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+    predict = zmodel.make_predict_fn()
+    timed("zfold full predict (fwd+decode+NMS)", predict, zvars, batch)
 
 if "rpn" in SECTIONS:
     from objectdetection_3d_tpu.models.layers import SubmanifoldSparseRPN
@@ -286,3 +340,130 @@ if "sparse" in SECTIONS:
         return sum(outs)
 
     timed("sparse: 27x row gather only", jax.jit(gathers_only), feats, idx0)
+
+if "train" in SECTIONS:
+    import optax
+    from objectdetection_3d_tpu.models.assign import assign_targets
+
+    G = batch["bboxes"].shape[1]
+    anchors = model.anchors
+    aabb = model.anchor_aabb
+
+    fn = jax.jit(lambda gt, lbl, msk: assign_targets(
+        anchors, gt, lbl, msk, pos_thr=model._pos_thr,
+        neg_thr=model._neg_thr,
+        candidates_per_gt=int(model.tpu_cfg["assign_candidates_per_gt"]),
+        num_classes=model.num_classes, anchor_aabb=aabb))
+    timed("assign_targets (full)", fn, batch["bboxes"][0],
+          batch["labels"][0], batch["gt_mask"][0])
+
+    # prefilter alone: upper bound + top_k over 1.92M anchors
+    from objectdetection_3d_tpu.models.assign import (_aabb_and_volume,
+                                                      _upper_bound_rows)
+    an_lo, an_hi, an_vol = aabb
+    K = int(model.tpu_cfg["assign_candidates_per_gt"])
+
+    def prefilter(gt):
+        gt_lo, gt_hi, gt_vol = _aabb_and_volume(gt)
+        ub = _upper_bound_rows(gt_lo, gt_hi, gt_vol, an_lo, an_hi, an_vol)
+        return jax.lax.top_k(ub, K)[1]
+
+    timed(f"prefilter ub+top_k (G={G}, K={K})", jax.jit(prefilter),
+          batch["bboxes"][0])
+
+    def prefilter_approx(gt):
+        gt_lo, gt_hi, gt_vol = _aabb_and_volume(gt)
+        ub = _upper_bound_rows(gt_lo, gt_hi, gt_vol, an_lo, an_hi, an_vol)
+        return jax.lax.approx_max_k(ub, K)[1]
+
+    timed("prefilter ub+approx_max_k", jax.jit(prefilter_approx),
+          batch["bboxes"][0])
+
+    pvars = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]}
+
+    def fwd_loss(v, b):
+        outs, _ = model.apply(v, b, train=False)
+        return sum(model.loss(outs, b, anchors, aabb).values())
+
+    timed("forward + loss (no grad)", jax.jit(fwd_loss), pvars, batch)
+
+    tx = model.get_optimizer({"lr": 1e-4}, grad_clip_value=1.0)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": tx.init(variables["params"])}
+    step = model.make_train_step(tx, donate=False)
+    timed("full train step (fwd+bwd+opt)", step, state, batch)
+
+if "zf" in SECTIONS:
+    # z-folded wide-channel formulations of the stage-1 subm conv:
+    # burn (zb+2)/3 x FLOPs on banded weights to lift the channel dims
+    # from 20 to ~160 where XLA's conv emitter is ~10x more efficient
+    grid, mask = synth_grid(20)
+    kern = jnp.asarray(
+        np.random.standard_normal((3, 3, 3, 20, 20)) * 0.1, BF)
+
+    def fold_explicit(x, kernel, zb):
+        b, d, h, w, c = x.shape
+        co = kernel.shape[-1]
+        dblk = -(-d // zb)
+        dpad = dblk * zb
+        xp = jnp.pad(x, ((0, 0), (1, dpad - d + 1), (0, 0), (0, 0),
+                         (0, 0)))
+        # overlap blocks: block k holds z slices [k*zb-1, k*zb+zb+1)
+        xo = jnp.stack([xp[:, k * zb:k * zb + zb + 2] for k in range(dblk)],
+                       axis=1)                     # (b, dblk, zb+2, h, w, c)
+        xo = jnp.transpose(xo, (0, 1, 3, 4, 2, 5)).reshape(
+            b * dblk, h, w, (zb + 2) * c)
+        kf = jnp.zeros((3, 3, (zb + 2) * c, zb * co), kernel.dtype)
+        for a in range(zb):
+            for dz in range(3):
+                j = a + dz
+                kf = kf.at[:, :, j * c:(j + 1) * c,
+                           a * co:(a + 1) * co].set(kernel[dz])
+        y = jax.lax.conv_general_dilated(
+            xo, kf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, dblk, h, w, zb, co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(
+            b, dpad, h, w, co)
+        return y[:, :d]
+
+    def fold_strided(x, kernel, zb):
+        b, d, h, w, c = x.shape
+        co = kernel.shape[-1]
+        dblk = -(-d // zb)
+        dpad = dblk * zb
+        xp = jnp.pad(x, ((0, 0), (1, dpad - d + 1), (0, 0), (0, 0),
+                         (0, 0)))
+        kf = jnp.zeros((zb + 2, 3, 3, c, zb * co), kernel.dtype)
+        for a in range(zb):
+            for dz in range(3):
+                kf = kf.at[a + dz, :, :, :,
+                           a * co:(a + 1) * co].set(kernel[dz])
+        y = jax.lax.conv_general_dilated(
+            xp, kf, (zb, 1, 1), [(0, 0), (1, 1), (1, 1)],
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+        y = y.reshape(b, dblk, h, w, zb, co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, dpad, h, w, co)
+        return y[:, :d]
+
+    def xla3d(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    ref = jax.jit(xla3d)(grid[:, :, :32, :32], kern)
+    for zb in (4, 6, 10):
+        got = jax.jit(lambda x, k, f=fold_explicit, z=zb: f(x, k, z))(
+            grid[:, :, :32, :32], kern)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        assert err < 1e-2, (zb, err)
+    print("zfold correctness vs conv3d: OK", flush=True)
+
+    for zb in (4, 6, 10):
+        timed(f"s1 zfold explicit zb={zb}",
+              jax.jit(lambda x, k, z=zb: fold_explicit(x, k, z)), grid, kern)
+    for zb in (4, 6, 10):
+        timed(f"s1 zfold strided-conv3d zb={zb}",
+              jax.jit(lambda x, k, z=zb: fold_strided(x, k, z)), grid, kern)
