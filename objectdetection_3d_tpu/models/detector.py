@@ -211,21 +211,38 @@ class PointPillars(BaseModel):
         """vmapped device voxelization of a padded point batch."""
         return jax.vmap(self.voxel_layer)(points, num_points)
 
+    @property
+    def _use_point_pfn(self):
+        """Point-granularity PFN: skip the (V, M, C) buffers entirely
+        (single-layer PFN stacks only — the flagship shape)."""
+        return (bool(self.tpu_cfg.get("point_pfn", True))
+                and len(self.net.pfn_channels) == 1
+                and not self.net.sparse_middle)
+
     def apply(self, variables, batch, train=False):
         """Full forward: voxelize -> network.
 
         Returns ((cls, reg, dirs), new_batch_stats_or_None).
         """
-        vox = self.voxelize_batch(batch["points"], batch["num_points"])
+        if self._use_point_pfn:
+            vox = jax.vmap(self.voxel_layer.points)(
+                batch["points"], batch["num_points"])
+            kwargs = dict(points=vox["points"], pt_voxel=vox["pt_voxel"],
+                          pt_valid=vox["pt_valid"],
+                          max_slots=self.voxel_layer.max_voxel_points)
+            net_args = (None, vox["num_points_per_voxel"], vox["coords"],
+                        vox["voxel_mask"])
+        else:
+            vox = self.voxelize_batch(batch["points"], batch["num_points"])
+            kwargs = {}
+            net_args = (vox["voxels"], vox["num_points_per_voxel"],
+                        vox["coords"], vox["voxel_mask"])
         if train:
             outs, mut = self.net.apply(
-                variables, vox["voxels"],
-                vox["num_points_per_voxel"], vox["coords"],
-                vox["voxel_mask"], train=True, mutable=["batch_stats"])
+                variables, *net_args, train=True,
+                mutable=["batch_stats"], **kwargs)
             return outs, mut["batch_stats"]
-        outs = self.net.apply(
-            variables, vox["voxels"], vox["num_points_per_voxel"],
-            vox["coords"], vox["voxel_mask"], train=False)
+        outs = self.net.apply(variables, *net_args, train=False, **kwargs)
         return outs, None
 
     # ------------------------------------------------------------------
@@ -260,6 +277,8 @@ class PointPillars(BaseModel):
                     self.tpu_cfg["assign_candidates_per_gt"]),
                 num_classes=self.num_classes,
                 anchor_aabb=anchor_aabb,
+                prefilter=str(
+                    self.tpu_cfg.get("assign_prefilter", "approx")),
                 prefilter_block=int(
                     self.tpu_cfg.get("assign_prefilter_block", 128)))
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])

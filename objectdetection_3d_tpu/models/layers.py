@@ -133,14 +133,114 @@ class PFNLayer(nn.Module):
         """
         x = nn.Dense(self.units, use_bias=False, dtype=self.dtype,
                      name="linear")(x)
+        # BN statistics run over EVERY slot of valid voxels — padding
+        # slots enter as exact zeros — matching the reference's unmasked
+        # BatchNorm1d over the whole (N, C, M) buffer
+        # (model/PointPillars.py:381,404); the slot-level mask also keeps
+        # those slots' normalized values alive for the max below
+        m_bn = jnp.broadcast_to(voxel_mask, (x.shape[0], x.shape[1], 1))
         x = MaskedBatchNorm(eps=1e-3, momentum=0.01, name="norm")(
-            x, voxel_mask, train)
+            x, m_bn, train)
         x = nn.relu(x)
         pooled = jnp.max(x, axis=1)
         if self.last_layer:
             return pooled
         rep = jnp.broadcast_to(pooled[:, None, :], x.shape)
         return jnp.concatenate([x, rep], axis=-1)
+
+
+class PointMaskedBN(nn.Module):
+    """MaskedBatchNorm twin for point-granularity PFN rows.
+
+    Emulates the padded-buffer statistics exactly: the ``V_valid*M - P``
+    zero padding slots of the buffer path contribute zeros to the sums and
+    ``total_slots = V_valid * M`` to the denominators.  Parameter and stat
+    names match MaskedBatchNorm so checkpoints interchange.  Also returns
+    the per-channel value a padding slot would take after normalization
+    (the buffer path's max-pool sees those slots — PFNLayer notes).
+    """
+
+    eps: float = 1e-5
+    momentum: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, pt_valid, total_slots, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+
+        m = pt_valid.astype(jnp.float32)[:, None]
+        if train:
+            xf = x.astype(jnp.float32)
+            count = jnp.maximum(total_slots.astype(jnp.float32), 1.0)
+            mean = jnp.sum(xf * m, axis=0) / count
+            n_real = jnp.sum(m)
+            # the (count - n_real) padding slots are exact zeros
+            var = (jnp.sum(((xf - mean) ** 2) * m, axis=0)
+                   + (count - n_real) * mean ** 2) / count
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = ((1 - self.momentum) * ra_mean.value
+                                 + self.momentum * mean)
+                ra_var.value = ((1 - self.momentum) * ra_var.value
+                                + self.momentum * unbiased)
+        else:
+            mean = ra_mean.value
+            var = ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.eps)
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
+        pad_y = ((jnp.zeros((c,), x.dtype) - mean.astype(x.dtype))
+                 * inv.astype(x.dtype) * scale.astype(x.dtype)
+                 + bias.astype(x.dtype))
+        return y * m.astype(x.dtype), pad_y
+
+
+class PFNLayerPoints(nn.Module):
+    """Point-granularity twin of PFNLayer (terminal layer only).
+
+    Same parameter tree as PFNLayer; instead of max-pooling a padded
+    ``(V, M, C)`` buffer it segment-max-reduces per-point activations over
+    the sorted point->voxel map.  Voxels with fewer than ``max_slots``
+    points additionally take the padding-slot ReLU floor into the max —
+    those slots exist (as zeros) in the buffer path and their normalized
+    value participates in its pool.
+    """
+
+    units: int
+    max_slots: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, seg, pt_valid, counts, total_slots, num_segments,
+                 train: bool):
+        """
+        Args:
+            x: (N, C) decorated per-point features (invalid rows zeroed).
+            seg: (N,) nondecreasing segment (voxel) index per point.
+            pt_valid: (N,) bool.
+            counts: (num_segments,) capped per-voxel point counts.
+            total_slots: scalar, valid voxels x max_slots.
+        Returns:
+            (num_segments, units) pooled features.
+        """
+        y = nn.Dense(self.units, use_bias=False, dtype=self.dtype,
+                     name="linear")(x)
+        y, pad_y = PointMaskedBN(eps=1e-3, momentum=0.01, name="norm")(
+            y, pt_valid, total_slots, train)
+        y = nn.relu(y)
+        floor = nn.relu(pad_y)
+        neg = jnp.asarray(-jnp.inf, y.dtype)
+        pooled = jax.ops.segment_max(
+            jnp.where(pt_valid[:, None], y, neg), seg,
+            num_segments=num_segments, indices_are_sorted=True)
+        return jnp.where(counts[:, None] < self.max_slots,
+                         jnp.maximum(pooled, floor[None, :]), pooled)
 
 
 class PillarFeatureNet(nn.Module):
@@ -150,6 +250,16 @@ class PillarFeatureNet(nn.Module):
     centroid (3) and from the pillar xy center (2), masks padding, runs the
     PFN stack, and appends ``num_points`` as the final output channel
     (the reference's quirk at model/PointPillars.py:526).
+
+    Two data layouts compute the same function:
+
+    * the padded-buffer path (``__call__`` without point args), matching
+      the reference's ``(V, M, C)`` shapes, and
+    * a point-granularity path (pass ``points``/``seg``/``pt_valid``):
+      every tensor stays at the ~P real points instead of V*M padded
+      slots — on TPU the buffer path's cost is pure HBM traffic over
+      ~30x more (lane-padded) rows than there are points.  Single-layer
+      PFN stacks only (the flagship config).
     """
 
     feat_channels: Sequence[int]
@@ -158,16 +268,25 @@ class PillarFeatureNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
+    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
+                 points=None, seg=None, pt_valid=None, max_slots=None):
         """
         Args:
-            voxels: (V, M, C) per-voxel point buffers (xyz + features).
+            voxels: (V, M, C) per-voxel point buffers (xyz + features);
+                ``None`` on the point path.
             num_points: (V,) valid point counts.
             coords: (V, 3) int voxel coords as (z, y, x).
             voxel_mask: (V,) bool voxel validity.
+            points / seg / pt_valid / max_slots: point path — (N, C)
+                cell-sorted points, their (nondecreasing) voxel index in
+                [0, V), validity, and the static per-voxel point cap M.
         Returns:
             (V, feat_channels[-1]) features (last channel = num_points).
         """
+        if points is not None:
+            return self._points_path(points, seg, pt_valid, num_points,
+                                     coords, voxel_mask, int(max_slots),
+                                     train)
         v, m, _ = voxels.shape
         npts = jnp.maximum(num_points, 1).astype(voxels.dtype)
 
@@ -201,6 +320,43 @@ class PillarFeatureNet(nn.Module):
 
         out = jnp.concatenate(
             [feats, num_points.astype(feats.dtype)[:, None]], axis=-1)
+        return out * voxel_mask[:, None].astype(out.dtype)
+
+    def _points_path(self, points, seg, pt_valid, counts, coords,
+                     voxel_mask, max_slots, train):
+        chans = list(self.feat_channels)
+        assert len(chans) == 1, (
+            "point-granularity PFN supports single-layer stacks; use the "
+            "buffer path for deeper feat_channels")
+        nseg = counts.shape[0]
+
+        xyz = points[:, :3]
+        validf = pt_valid.astype(points.dtype)[:, None]
+        cnt = jnp.maximum(counts, 1).astype(points.dtype)
+        centroid = jax.ops.segment_sum(
+            xyz * validf, seg, num_segments=nseg,
+            indices_are_sorted=True) / cnt[:, None]
+        centroid_off = xyz - centroid[seg]
+
+        vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
+        x_off = vx / 2 + float(self.point_cloud_range[0])
+        y_off = vy / 2 + float(self.point_cloud_range[1])
+        cc = coords[seg].astype(points.dtype)
+        px = points[:, 0] - (cc[:, 2] * vx + x_off)
+        py = points[:, 1] - (cc[:, 1] * vy + y_off)
+
+        feats = jnp.concatenate(
+            [points, centroid_off, px[:, None], py[:, None]],
+            axis=-1).astype(self.dtype)
+        feats = feats * validf.astype(feats.dtype)
+
+        total_slots = jnp.sum(voxel_mask.astype(jnp.int32)) * max_slots
+        pooled = PFNLayerPoints(units=chans[0] - 1, max_slots=max_slots,
+                                dtype=self.dtype, name="pfn_0")(
+            feats, seg, pt_valid, counts, total_slots, nseg, train)
+
+        out = jnp.concatenate(
+            [pooled, counts.astype(pooled.dtype)[:, None]], axis=-1)
         return out * voxel_mask[:, None].astype(out.dtype)
 
 
@@ -327,6 +483,50 @@ class SparseMiddleExtractor(nn.Module):
         return (jnp.concatenate([zero, y0[:, :-1]], axis=1) + y1
                 + jnp.concatenate([y2[:, 1:], zero], axis=1))
 
+    @staticmethod
+    def _downfold_block(c, d_out):
+        """z-output block for the folded down conv: largest zb with
+        (2*zb+1)*c <= 192 (batched-training sweet spot measured on v5e)."""
+        zb = max(1, (192 // c - 1) // 2)
+        return min(zb, d_out)
+
+    def _down_conv_z_zfold(self, x, kernel):
+        """(3,1,1)/(2,1,1) VALID conv as a z-folded wide-channel GEMM.
+
+        Mirrors ``_subm_conv3d_zfold``: zb output z-steps (spanning
+        2*zb+1 input slices) fold into channels and a banded
+        (1, 1, (2zb+1)C, zb*Co) kernel computes the strided z taps inside
+        one GEMM.  Exact vs the native lowering.  Besides the MXU-width
+        win, this avoids the native 5-D strided conv's transposed input
+        copy, which at B=4 flagship scale is an 11.4 GB allocation (the
+        round-1 batched-inference OOM).
+        """
+        b, d, h, w, c = x.shape
+        co = kernel.shape[-1]
+        d_out = (d - 3) // 2 + 1
+        zb = self._downfold_block(c, d_out)
+        dblk = -(-d_out // zb)
+        span = 2 * zb + 1
+        xp = jnp.pad(x, ((0, 0), (0, 2 * zb * dblk + 3 - d), (0, 0),
+                         (0, 0), (0, 0)))
+        xo = jnp.stack([xp[:, 2 * zb * k:2 * zb * k + span]
+                        for k in range(dblk)], axis=1)
+        xo = jnp.transpose(xo, (0, 1, 3, 4, 2, 5)).reshape(
+            b * dblk, h, w, span * c)
+        kf = jnp.zeros((1, 1, span * c, zb * co), kernel.dtype)
+        for a in range(zb):
+            for t in range(3):
+                j = 2 * a + t
+                kf = kf.at[:, :, j * c:(j + 1) * c,
+                           a * co:(a + 1) * co].set(kernel[t])
+        y = jax.lax.conv_general_dilated(
+            xo, kf.astype(x.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, dblk, h, w, zb, co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(
+            b, dblk * zb, h, w, co)
+        return y[:, :d_out]
+
     def _down_conv_z(self, x, ch, name, stage=0):
         """(3,1,1)-kernel (2,1,1)-stride VALID conv over z."""
         b, d, h, w, c = x.shape
@@ -335,6 +535,9 @@ class SparseMiddleExtractor(nn.Module):
             name,
             nn.initializers.lecun_normal(),
             (3, c, ch))
+        if (self.zfold_convs and not self._decompose_stage(stage)
+                and self._downfold_block(c, d_out) >= 2):
+            return self._down_conv_z_zfold(x, kernel)
         if not self._decompose_stage(stage):
             return jax.lax.conv_general_dilated(
                 x, kernel.reshape(3, 1, 1, c, ch).astype(x.dtype),

@@ -49,8 +49,12 @@ class PointPillarsNet(nn.Module):
     backbone_strides: tuple = (2, 2, 2)
     neck_channels: tuple = ()
     neck_upsample_strides: tuple = ()
-    # execute the vertical encoder on the sparse active set (gather-based)
-    # instead of the dense masked grid; numerics are identical
+    # EXPERIMENTAL: execute the vertical encoder on the sparse active set
+    # (gather-based) instead of the dense masked grid; numerics are
+    # identical but it is PARKED for perf — measured 318 ms for the full
+    # flagship encoder (after the dense index-map rewrite) vs 168 ms for
+    # the dense z-fold path at 0.75% occupancy on v5e.  The crossover
+    # would need a Pallas DMA-gather kernel or <<0.2% occupancy.
     sparse_middle: bool = False
     sparse_budget: int = 0
     # rematerialize the encoder/RPN in the backward pass (the full-grid
@@ -68,31 +72,56 @@ class PointPillarsNet(nn.Module):
     zfold_convs: bool = False
 
     @nn.compact
-    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool):
+    def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
+                 points=None, pt_voxel=None, pt_valid=None, max_slots=None):
         """
         Args:
-            voxels: (B, V, M, C) padded voxel point buffers.
+            voxels: (B, V, M, C) padded voxel point buffers (``None`` on
+                the point path).
             num_points: (B, V) int points per voxel.
             coords: (B, V, 3) int voxel coords (z, y, x), -1 padding.
             voxel_mask: (B, V) bool voxel validity.
+            points / pt_voxel / pt_valid / max_slots: point-granularity
+                PFN inputs (see ops.voxelize.voxelize_points): (B, P, C)
+                cell-sorted points, per-point voxel index in [0, V]
+                (V = dump), validity, and the static per-voxel cap M.
         Returns:
             (cls, reg, dirs): (B, H, W, A*num_classes / A*9 / A*6) float32.
         """
-        b, v, m, c = voxels.shape
         d, h, w = self.grid
 
-        fv = voxels.reshape(b * v, m, c)
-        fn = num_points.reshape(b * v)
-        fc = coords.reshape(b * v, 3)
-        fm = voxel_mask.reshape(b * v)
-
-        feats = PillarFeatureNet(
+        pfn = PillarFeatureNet(
             feat_channels=self.pfn_channels,
             voxel_size=self.voxel_size,
             point_cloud_range=self.point_cloud_range,
             dtype=self.dtype,
             name="voxel_encoder",
-        )(fv, fn, fc, fm, train)
+        )
+        if points is not None:
+            b, v = num_points.shape
+            # one extra segment per item holds the dump slot (out-of-range
+            # or overflow points); segment ids stay globally nondecreasing
+            nvp = v + 1
+            seg = (jnp.arange(b)[:, None] * nvp + pt_voxel).reshape(-1)
+            counts_p = jnp.pad(num_points, ((0, 0), (0, 1))).reshape(-1)
+            coords_p = jnp.pad(
+                coords, ((0, 0), (0, 1), (0, 0))).reshape(b * nvp, 3)
+            mask_p = jnp.pad(voxel_mask, ((0, 0), (0, 1))).reshape(-1)
+            feats = pfn(None, counts_p, coords_p, mask_p, train,
+                        points=points.reshape(b * points.shape[1], -1),
+                        seg=seg, pt_valid=pt_valid.reshape(-1),
+                        max_slots=max_slots)
+            feats = feats.reshape(b, nvp, -1)[:, :v].reshape(b * v, -1)
+        else:
+            b, v, m, c = voxels.shape
+            feats = pfn(voxels.reshape(b * v, m, c),
+                        num_points.reshape(b * v),
+                        coords.reshape(b * v, 3),
+                        voxel_mask.reshape(b * v), train)
+
+        fn = num_points.reshape(b * v)
+        fc = coords.reshape(b * v, 3)
+        fm = voxel_mask.reshape(b * v)
 
         feats = feats.astype(self.dtype)
         if self.sparse_middle:

@@ -153,6 +153,126 @@ def voxelize(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "voxel_size",
+        "point_cloud_range",
+        "max_points_per_voxel",
+        "max_voxels",
+        "reflectance_sampling",
+    ),
+)
+def voxelize_points(
+    points,
+    num_points,
+    *,
+    voxel_size,
+    point_cloud_range,
+    max_points_per_voxel,
+    max_voxels,
+    reflectance_sampling=True,
+    shuffle_key=None,
+):
+    """Voxelize one padded cloud WITHOUT materializing per-voxel buffers.
+
+    Same cell assignment, per-voxel capping, and voxel ordering as
+    :func:`voxelize`, but the result stays at point granularity: each
+    (sorted) point carries the index of its voxel.  Downstream consumers
+    (the point-level PFN) reduce over voxels with segment ops instead of
+    reading a padded ``(V, M, C)`` buffer — on TPU that buffer is the
+    cost: ~`V*M/P` times more rows than real points, each lane-padded.
+
+    Returns:
+        dict with
+            points: (P, C) cell-sorted points (capping order applied),
+            pt_voxel: (P,) int32 voxel index of each point; ``max_voxels``
+                for out-of-range / overflow points (a dump slot),
+            pt_valid: (P,) bool — in range, voxel kept, and within the
+                per-voxel point cap,
+            coords: (V, 3) int32 (z, y, x), -1 for padding voxels,
+            num_points_per_voxel: (V,) int32 capped counts,
+            num_voxels: scalar int32,
+            voxel_mask: (V,) bool.
+    """
+    pcr = jnp.asarray(point_cloud_range, points.dtype)
+    vsz = jnp.asarray(voxel_size, points.dtype)
+    grid = tuple(
+        int(round((point_cloud_range[3 + i] - point_cloud_range[i])
+                  / voxel_size[i]))
+        for i in range(3))
+
+    p = points.shape[0]
+    idx = jnp.arange(p)
+    valid = idx < num_points
+
+    cell3 = jnp.floor((points[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
+    in_range = jnp.all(
+        (cell3 >= 0) & (cell3 < jnp.asarray(grid, jnp.int32)), axis=-1)
+    ok = valid & in_range
+
+    sentinel = jnp.int32(grid[0] * grid[1] * grid[2])
+    cell = (cell3[:, 2] * grid[1] + cell3[:, 1]) * grid[0] + cell3[:, 0]
+    cell = jnp.where(ok, cell, sentinel)
+
+    if reflectance_sampling:
+        secondary = -points[:, 3]
+    elif shuffle_key is not None:
+        secondary = jax.random.uniform(shuffle_key, (p,), points.dtype)
+    else:
+        secondary = jnp.zeros((p,), points.dtype)
+
+    cell_s, _, order = jax.lax.sort(
+        (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
+    pts_s = points[order]
+    cell3_s = cell3[order]
+
+    first = jnp.concatenate(
+        [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)
+    vox_id = jnp.cumsum(first) - 1
+    # rank of each point inside its voxel = offset from the run start
+    run_start = jax.lax.cummax(jnp.where(first, idx, 0))
+    slot = idx - run_start
+
+    pt_valid = ((cell_s < sentinel) & (vox_id < max_voxels)
+                & (slot < max_points_per_voxel))
+    # pt_voxel stays NONDECREASING over the sorted points (capped points
+    # keep their true voxel id; only out-of-range/overflow points go to
+    # the dump slot ``max_voxels``) so downstream segment ops can run with
+    # indices_are_sorted=True — unsorted TPU scatters serialize.  Consumers
+    # must mask with pt_valid (zero for sums, -inf for maxes).
+    pt_voxel = jnp.where(cell_s < sentinel,
+                         jnp.minimum(vox_id, max_voxels),
+                         max_voxels).astype(jnp.int32)
+
+    vox_id_search = jnp.where(cell_s < sentinel, vox_id, max_voxels + p)
+    v_ids = jnp.arange(max_voxels)
+    bounds = jnp.searchsorted(
+        vox_id_search, jnp.concatenate([v_ids, v_ids + 1]), side="left")
+    starts = bounds[:max_voxels]
+    ends = bounds[max_voxels:]
+
+    num_voxels = jnp.minimum(jnp.sum(first), max_voxels).astype(jnp.int32)
+    voxel_mask = v_ids < num_voxels
+    counts = jnp.where(
+        voxel_mask,
+        jnp.minimum(ends - starts, max_points_per_voxel), 0
+    ).astype(jnp.int32)
+
+    head_src = jnp.clip(starts, 0, p - 1)
+    coords = jnp.where(voxel_mask[:, None],
+                       cell3_s[head_src][:, ::-1], -1).astype(jnp.int32)
+    return {
+        "points": pts_s,
+        "pt_voxel": pt_voxel,
+        "pt_valid": pt_valid,
+        "coords": coords,
+        "num_points_per_voxel": counts,
+        "num_voxels": num_voxels,
+        "voxel_mask": voxel_mask,
+    }
+
+
 class Voxelizer:
     """Configured voxelization op (reference ops/ops_numba.py:40-107 surface).
 
@@ -174,6 +294,19 @@ class Voxelizer:
 
     def __call__(self, points, num_points, shuffle_key=None):
         return voxelize(
+            points,
+            num_points,
+            voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+            max_points_per_voxel=self.max_voxel_points,
+            max_voxels=self.max_voxels,
+            reflectance_sampling=self.reflectance_sampling,
+            shuffle_key=shuffle_key,
+        )
+
+    def points(self, points, num_points, shuffle_key=None):
+        """Point-granularity variant (see :func:`voxelize_points`)."""
+        return voxelize_points(
             points,
             num_points,
             voxel_size=self.voxel_size,

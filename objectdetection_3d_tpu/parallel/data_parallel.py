@@ -109,12 +109,9 @@ def make_spatial_predict_fn(model, mesh, data_axis="data",
     bsh = NamedSharding(mesh, P(data_axis))
 
     def predict(variables, batch, anchors):
-        vox = model.voxelize_batch(batch["points"], batch["num_points"])
-        # constrain the voxel buffers to data-parallel, then let the grid
-        # scatter + convs run with H sharded over `space`
-        outs = model.net.apply(
-            variables, vox["voxels"], vox["num_points_per_voxel"],
-            vox["coords"], vox["voxel_mask"], train=False)
+        # voxelization + PFN run data-parallel; the grid scatter + convs
+        # run with H sharded over `space` from the output constraint below
+        outs, _ = model.apply(variables, batch, train=False)
         cls, reg, dirs = outs
         spec = PartitionSpec(data_axis, space_axis, None, None)
         cls = jax.lax.with_sharding_constraint(

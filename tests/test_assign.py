@@ -171,3 +171,40 @@ def test_no_valid_gt():
                          candidates_per_gt=16, gt_chunk=2)
     assert int(out["num_pos"]) == 0
     assert np.all(np.asarray(out["neg_mask"]))
+
+
+def test_blockwise_prefilter_matches_full():
+    """The two-level exact top-k prefilter must reproduce the plain
+    lax.top_k assignment bit-for-bit (ties aside, which random floats
+    make improbable) on a grid large enough for several blocks."""
+    rng = np.random.default_rng(11)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 16.0, 16.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5], [1.2, 1.2, 3.0]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((48, 48)))  # 9216 anchors
+
+    g_valid = 6
+    gt = np.zeros((8, 9), np.float32)
+    gt[:g_valid, :2] = rng.uniform(1, 15, (g_valid, 2))
+    gt[:g_valid, 3:6] = rng.uniform(0.6, 1.4, (g_valid, 3)) * [1, 1, 2.5]
+    gt[:g_valid, 8] = rng.uniform(-np.pi, np.pi, g_valid)
+    gt_mask = np.arange(8) < g_valid
+    labels = np.zeros(8, np.int32)
+    args = (anchors, jnp.asarray(gt), jnp.asarray(labels),
+            jnp.asarray(gt_mask))
+    kw = dict(pos_thr=0.2, neg_thr=0.08, candidates_per_gt=256, gt_chunk=4)
+
+    full = assign_targets(*args, **kw, prefilter="full")
+    # block size that doesn't divide N exercises the padding tail
+    blk = assign_targets(*args, **kw, prefilter="block",
+                         prefilter_block=100)
+    approx = assign_targets(*args, **kw, prefilter="approx")
+    for key in full:
+        np.testing.assert_array_equal(np.asarray(full[key]),
+                                      np.asarray(blk[key]),
+                                      err_msg=f"block:{key}")
+        np.testing.assert_array_equal(np.asarray(full[key]),
+                                      np.asarray(approx[key]),
+                                      err_msg=f"approx:{key}")

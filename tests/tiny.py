@@ -49,8 +49,15 @@ def tiny_batch(batch_size=2, num_gt=3, seed=0, max_points=2048, max_gt=8):
 
     for b in range(batch_size):
         pts = []
+        centers = []
         for g in range(num_gt):
-            cx, cy = rng.uniform(1.5, 6.5, 2)
+            # enforce separation: two coincident trees are one NMS
+            # cluster by design, which makes recall targets unreachable
+            for _ in range(100):
+                cx, cy = rng.uniform(1.5, 6.5, 2)
+                if all(np.hypot(cx - x, cy - y) > 1.6 for x, y in centers):
+                    break
+            centers.append((cx, cy))
             box = [cx, cy, 0.2, 0.8, 0.8, 2.5,
                    rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2),
                    rng.uniform(-np.pi, np.pi)]

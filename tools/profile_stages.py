@@ -179,6 +179,77 @@ if "fwdz" in SECTIONS:
     predict = zmodel.make_predict_fn()
     timed("zfold full predict (fwd+decode+NMS)", predict, zvars, batch)
 
+if "s1parts" in SECTIONS:
+    # where does stage-1 time actually go?  isolated pieces of
+    # subm->mask->BN->relu->down->BN on the (1,100,400,400,20) grid
+    grid, mask = synth_grid(20)
+    scale = jnp.ones((20,), jnp.float32)
+
+    def elemwise(x, m):
+        y = (x * m[..., None] - 0.1) * scale.astype(x.dtype) + 0.2
+        return jax.nn.relu(y)
+
+    timed("s1 mask+bn+relu pass (C=20)", jax.jit(elemwise), grid, mask)
+
+    kd = jnp.asarray(np.random.standard_normal((3, 1, 1, 20, 32)) * .1, BF)
+
+    def down_native(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 1, 1), "VALID",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"))
+
+    timed("s1 down conv native (20->32, z100->49)", jax.jit(down_native),
+          grid, kd)
+
+    def down_fold(x, k, zb=4):
+        # fold zb output z-steps (2*zb+1 input slices) into channels:
+        # out[a] = sum_t k[t] x[2a+t]
+        b, d, h, w, c = x.shape
+        co = k.shape[-1]
+        d_out = (d - 3) // 2 + 1
+        dblk = -(-d_out // zb)
+        span = 2 * zb + 1
+        xp = jnp.pad(x, ((0, 0), (0, 2 * zb * dblk + 3 - d), (0, 0),
+                         (0, 0), (0, 0)))
+        xo = jnp.stack([xp[:, 2 * zb * i:2 * zb * i + span]
+                        for i in range(dblk)], axis=1)
+        xo = jnp.transpose(xo, (0, 1, 3, 4, 2, 5)).reshape(
+            b * dblk, h, w, span * c)
+        kf = jnp.zeros((1, 1, span * c, zb * co), k.dtype)
+        for a in range(zb):
+            for t in range(3):
+                j = 2 * a + t
+                kf = kf.at[:, :, j * c:(j + 1) * c,
+                           a * co:(a + 1) * co].set(k[t, 0, 0])
+        y = jax.lax.conv_general_dilated(
+            xo, kf, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y.reshape(b, dblk, h, w, zb, co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(
+            b, dblk * zb, h, w, co)
+        return y[:, :d_out]
+
+    ref = jax.jit(down_native)(grid[:, :, :32, :32], kd)
+    got = jax.jit(down_fold)(grid[:, :, :32, :32], kd)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f"down_fold correctness: max err {err:.2e}", flush=True)
+    timed("s1 down conv folded GEMM (zb=4)", jax.jit(down_fold), grid, kd)
+
+    # unfold/refold relayout cost alone
+    def unfold_refold(x):
+        b, d, h, w, c = x.shape
+        zb = 4
+        dblk = d // zb
+        y = x[:, :dblk * zb].reshape(b, dblk, zb, h, w, c)
+        y = jnp.transpose(y, (0, 1, 3, 4, 2, 5)).reshape(
+            b * dblk, h, w, zb * c)
+        z = y.reshape(b, dblk, h, w, zb, c)
+        z = jnp.transpose(z, (0, 1, 4, 2, 3, 5)).reshape(
+            b, dblk * zb, h, w, c)
+        return z
+
+    timed("fold+unfold relayout roundtrip", jax.jit(unfold_refold), grid)
+
 if "rpn" in SECTIONS:
     from objectdetection_3d_tpu.models.layers import SubmanifoldSparseRPN
 
@@ -379,6 +450,16 @@ if "train" in SECTIONS:
     timed("prefilter ub+approx_max_k", jax.jit(prefilter_approx),
           batch["bboxes"][0])
 
+    from objectdetection_3d_tpu.models.assign import _blockwise_topk
+
+    def prefilter_block(gt):
+        gt_lo, gt_hi, gt_vol = _aabb_and_volume(gt)
+        ub = _upper_bound_rows(gt_lo, gt_hi, gt_vol, an_lo, an_hi, an_vol)
+        return _blockwise_topk(ub, K, 128)
+
+    timed("prefilter ub+blockwise exact topk", jax.jit(prefilter_block),
+          batch["bboxes"][0])
+
     pvars = {"params": variables["params"],
              "batch_stats": variables["batch_stats"]}
 
@@ -388,12 +469,37 @@ if "train" in SECTIONS:
 
     timed("forward + loss (no grad)", jax.jit(fwd_loss), pvars, batch)
 
-    tx = model.get_optimizer({"lr": 1e-4}, grad_clip_value=1.0)
+    # the realistic training memory mode (native conv3d training OOMs)
+    tmodel = PointPillars(**g._flagship_cfg(
+        {"decompose_convs": True, "remat": True}))
+    tx = tmodel.get_optimizer({"lr": 1e-4}, grad_clip_value=1.0)
     state = {"params": variables["params"],
              "batch_stats": variables["batch_stats"],
              "opt_state": tx.init(variables["params"])}
-    step = model.make_train_step(tx, donate=False)
-    timed("full train step (fwd+bwd+opt)", step, state, batch)
+    step = tmodel.make_train_step(tx, donate=False)
+    timed("train step (decompose+remat)", step, state, batch)
+
+if "trainz" in SECTIONS:
+    # can zfold replace the decomposition for training memory AND win time?
+    zt = PointPillars(**g._flagship_cfg(
+        {"decompose_convs": False, "zfold_convs": True, "remat": True}))
+    tx = zt.get_optimizer({"lr": 1e-4}, grad_clip_value=1.0)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": tx.init(variables["params"])}
+    step = zt.make_train_step(tx, donate=False)
+    timed("train step (zfold+remat)", step, state, batch)
+
+if "batched" in SECTIONS:
+    for bsz in (2, 4):
+        bb = g._synth_batch(bsz, model.tpu_cfg["max_points_static"],
+                            model.tpu_cfg["max_gt_static"],
+                            model.point_cloud_range)
+        predict = model.make_predict_fn()
+        ms = timed(f"zfold predict B={bsz}", predict,
+                   {"params": variables["params"],
+                    "batch_stats": variables["batch_stats"]}, bb, reps=3)
+        print(f"  -> {bsz * 1000.0 / ms:.2f} clouds/s", flush=True)
 
 if "zf" in SECTIONS:
     # z-folded wide-channel formulations of the stage-1 subm conv:
