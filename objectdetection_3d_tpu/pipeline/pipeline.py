@@ -75,10 +75,24 @@ class ObjectDetection(BasePipeline):
         ext = "orbax" if backend == "orbax" else "pkl"
         path = join(ckpt_dir, f"ckpt_best.{ext}" if save_best
                     else f"ckpt_{epoch:05d}.{ext}")
-        ckpt_io.save_ckpt(path, epoch, self.state, backend=backend)
+        if self.cfg.get("async_ckpt", True):
+            # state is snapshotted to host before save() returns; the
+            # write itself overlaps the next epoch's compute
+            if not hasattr(self, "_ckpt_saver"):
+                self._ckpt_saver = ckpt_io.AsyncSaver()
+            self._ckpt_saver.save(path, epoch, self.state, backend=backend)
+        else:
+            ckpt_io.save_ckpt(path, epoch, self.state, backend=backend)
         log.info(f"Epoch {epoch:3d}: save ckpt to {path:s}")
 
+    def wait_for_ckpts(self):
+        """Drain pending async checkpoint writes (no-op when sync)."""
+        saver = getattr(self, "_ckpt_saver", None)
+        if saver is not None:
+            saver.wait()
+
     def load_ckpt(self):
+        self.wait_for_ckpts()
         ckpt_dir = join(self.cfg.log_dir, "checkpoint/")
         epoch = 0
 
@@ -440,6 +454,25 @@ class ObjectDetection(BasePipeline):
         profile_steps = int(self.cfg.get("profile_steps", 0))
         profiled = 0
 
+        # preemption safety: SIGTERM/SIGINT request a checkpoint + clean
+        # stop at the next epoch boundary instead of killing the process
+        # mid-write (resume with is_resume: true)
+        import signal
+
+        self._preempted = False
+
+        def _request_stop(signum, frame):
+            log.warning("Signal %s received: will checkpoint and stop "
+                        "after the current epoch", signum)
+            self._preempted = True
+
+        old_handlers = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                old_handlers[sig] = signal.signal(sig, _request_stop)
+            except ValueError:  # non-main thread (tests)
+                pass
+
         log.info("Started training")
         for epoch in range(start_ep, self.cfg.get("max_epoch", 1) + 1):
             log.info(f"================================ EPOCH {epoch:d}/"
@@ -497,4 +530,13 @@ class ObjectDetection(BasePipeline):
                 self.save_ckpt(epoch, save_best=False)
 
             training_record.to_csv(record_path, index=False)
+            if self._preempted:
+                self.save_ckpt(epoch, save_best=False)
+                log.warning("Preemption checkpoint written for epoch %d; "
+                            "stopping", epoch)
+                break
+
+        for sig, handler in old_handlers.items():
+            signal.signal(sig, handler)
+        self.wait_for_ckpts()
         return training_record
