@@ -148,6 +148,70 @@ class ObjdetAugmentation(Augmentation):
         data["point"] = npo.point_shuffle(data["point"], self.rng)
         return data
 
+    def ObjectSample(self, data, cfg):
+        """Paste collision-checked GT-database objects into the scene.
+
+        The reference names this augmentation and ships its support ops
+        (ops/ops_torch.py:466-533) but never wires it; this completes the
+        pipeline.  ``cfg`` keys:
+
+        * ``db_path``: GT database pickle
+          (see augment.gt_database.build_gt_database / the
+          tools/build_gt_database.py CLI).
+        * ``sample_dict``: {class_label: target object count per scene} —
+          up to ``target - current`` objects are added.
+        * ``min_points_dict`` (optional): {label: min interior points}
+          filter on database candidates.
+        * ``remove_points`` (default True): drop scene points falling
+          inside a pasted box before pasting its crop.
+        """
+        from objectdetection_3d_tpu.augment.gt_database import (
+            load_gt_database)
+        from objectdetection_3d_tpu.ops import sampling
+
+        if getattr(self, "_gt_db", None) is None:
+            self._gt_db = load_gt_database(cfg["db_path"])
+
+        points = np.asarray(data["point"], np.float32)
+        boxes = np.asarray(data["bboxes"], np.float32).reshape(-1, 9)
+        labels = np.asarray(data["labels"]).reshape(-1)
+
+        min_pts = dict(cfg.get("min_points_dict", {}) or {})
+        new_entries = []
+        scene_boxes = [b for b in boxes]
+        for label, target in dict(cfg["sample_dict"]).items():
+            have = int((labels == label).sum()) + sum(
+                1 for e in new_entries if e["label"] == label)
+            want = int(target) - have
+            candidates = self._gt_db.get(label, [])
+            if min_pts:
+                candidates = sampling.filter_by_min_points(candidates,
+                                                           min_pts)
+            if want <= 0 or not candidates:
+                continue
+            picked = sampling.sample_class(want, scene_boxes, candidates,
+                                           rng=self.rng)
+            new_entries.extend(picked)
+            scene_boxes.extend(np.asarray(e["bbox"], np.float32)
+                               for e in picked)
+
+        if not new_entries:
+            return data
+
+        new_boxes = np.stack([e["bbox"] for e in new_entries]).astype(
+            np.float32)
+        if cfg.get("remove_points", True):
+            points = sampling.remove_points_in_boxes(points, new_boxes)
+        crops = [np.asarray(e["points_inside_box"],
+                            np.float32)[:, :points.shape[1]]
+                 for e in new_entries]
+        data["point"] = np.concatenate([points] + crops, axis=0)
+        data["bboxes"] = np.concatenate([boxes, new_boxes], axis=0)
+        data["labels"] = np.concatenate(
+            [labels, np.array([e["label"] for e in new_entries],
+                              labels.dtype if labels.size else np.int64)])
+        return data
+
     @staticmethod
     def in_range(pcd_range, corners):
         return box_in_range(corners, np.asarray(pcd_range))
@@ -179,6 +243,8 @@ class ObjdetAugmentation(Augmentation):
             data["point"] = self.rotate(data["point"], cfg["rotate"])
         if "scale" in cfg:
             data["point"] = self.scale(data["point"], cfg["scale"])
+        if cfg.get("ObjectSample", False):
+            data = self.ObjectSample(data, cfg["ObjectSample"])
         if cfg.get("ObjectRangeFilter", False):
             data = self.ObjectRangeFilter(
                 data, cfg["ObjectRangeFilter"]["point_cloud_range"])

@@ -70,20 +70,28 @@ def remove_points_in_boxes(points, boxes):
     return np.asarray(points)[~mask.any(axis=1)]
 
 
-def random_sample(files, num):
-    """Sample up to ``num`` entries (reference ops/ops_torch.py:466-470)."""
+def random_sample(files, num, rng=None):
+    """Sample up to ``num`` entries (reference ops/ops_torch.py:466-470).
+
+    ``rng`` (numpy Generator) makes the draw reproducible per item — the
+    parallel loader's per-item RNG threads through here; ``None`` keeps
+    the reference's global-``random`` behavior.
+    """
     if len(files) <= num:
         return files
+    if rng is not None:
+        idx = rng.choice(len(files), size=num, replace=False)
+        return [files[i] for i in idx]
     return random.sample(files, num)
 
 
-def sample_class(num, gt_boxes, db_boxes):
+def sample_class(num, gt_boxes, db_boxes, rng=None):
     """Collision-filtered sampling of database objects into a scene
     (reference ops/ops_torch.py:472-501): sampled boxes colliding (BEV
     envelope overlap) with ground truth or other samples are rejected."""
     if num == 0:
         return []
-    sampled = copy.deepcopy(random_sample(db_boxes, num))
+    sampled = copy.deepcopy(random_sample(db_boxes, num, rng=rng))
 
     num_gt = len(gt_boxes)
     boxes = [np.asarray(b, np.float32) for b in gt_boxes]
