@@ -147,7 +147,9 @@ def _augmenting_preprocess(data, attr, rng=None):
 
 
 def _collect(forest_dir, num_workers, epoch=0, batch_size=2):
-    ds = Forest3D(dataset_path=str(forest_dir), name="Forest3D")
+    # pin the split-shuffle seed: each _collect builds a fresh dataset and
+    # an unseeded one reshuffles the file list differently per instance
+    ds = Forest3D(dataset_path=str(forest_dir), name="Forest3D", seed=123)
     split = PreprocessedDataset(dataset=ds.get_split("training"),
                                 preprocess=_augmenting_preprocess, seed=7)
     split.set_epoch(epoch)
