@@ -160,6 +160,7 @@ class PointPillars(BaseModel):
             pallas_subm=bool(
                 self.tpu_cfg.get("pallas_subm_conv", False)),
             zfold_convs=bool(self.tpu_cfg.get("zfold_convs", False)),
+            zfold_pallas=bool(self.tpu_cfg.get("zfold_pallas", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),

@@ -388,6 +388,9 @@ class SparseMiddleExtractor(nn.Module):
     # where the MXU tile is fully occupied.  zb is chosen per stage so that
     # (zb+2)*C_in lands near 160.  False/0 = off.
     zfold_convs: bool = False
+    # run the folded 3x3 conv through the Pallas 9-tap GEMM kernel
+    # (ops/zfold_conv.py) instead of XLA's conv emitter; TPU only
+    zfold_pallas: bool = False
 
     def _decompose_stage(self, stage):
         if isinstance(self.decompose_convs, bool):
@@ -431,9 +434,16 @@ class SparseMiddleExtractor(nn.Module):
                 j = a + dz
                 kf = kf.at[:, :, j * c:(j + 1) * c,
                            a * co:(a + 1) * co].add(kernel[dz])
-        y = jax.lax.conv_general_dilated(
-            xo, kf.astype(x.dtype), (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.zfold_pallas and (zb + 2) * c <= 128 and zb * co <= 128 \
+                and jax.default_backend() == "tpu":
+            from objectdetection_3d_tpu.ops.zfold_conv import (
+                conv2d_3x3_pallas)
+
+            y = conv2d_3x3_pallas(xo, kf.astype(x.dtype))
+        else:
+            y = jax.lax.conv_general_dilated(
+                xo, kf.astype(x.dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         y = y.reshape(b, dblk, h, w, zb, co)
         y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(b, dpad, h, w, co)
         return y[:, :d]

@@ -70,6 +70,7 @@ class PointPillarsNet(nn.Module):
     # z-fold the encoder's subm convs into wide-channel strided conv3ds
     # (see SparseMiddleExtractor.zfold_convs)
     zfold_convs: bool = False
+    zfold_pallas: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
@@ -172,6 +173,7 @@ class PointPillarsNet(nn.Module):
                 decompose_convs=self.decompose_convs,
                 pallas_subm=self.pallas_subm,
                 zfold_convs=self.zfold_convs,
+                zfold_pallas=self.zfold_pallas,
                 name="pseudoimage_generator",
             )(grid, mask, train)
 

@@ -157,6 +157,59 @@ if "enc" in SECTIONS:
         fn = jax.jit(lambda v, x, m, e=enc: e.apply(v, x, m, False)[0])
         timed(f"encoder stages 1..{k}", fn, ev, grid, mask)
 
+if "pointpfn" in SECTIONS:
+    # point-path pieces: voxelize_points, PFN segment path, grid scatter
+    vp = jax.jit(jax.vmap(model.voxel_layer.points))
+    vox = vp(batch["points"], batch["num_points"])
+    sync(vox["points"])
+    timed("voxelize_points (sort+ids)", vp, batch["points"],
+          batch["num_points"])
+
+    def pfn_scatter_point(variables, vox):
+        from objectdetection_3d_tpu.models.layers import PillarFeatureNet
+        b, p, c = vox["points"].shape
+        v = vox["num_points_per_voxel"].shape[1]
+        nvp = v + 1
+        seg = (jnp.arange(b)[:, None] * nvp + vox["pt_voxel"]).reshape(-1)
+        counts_p = jnp.pad(vox["num_points_per_voxel"],
+                           ((0, 0), (0, 1))).reshape(-1)
+        coords_p = jnp.pad(vox["coords"],
+                           ((0, 0), (0, 1), (0, 0))).reshape(b * nvp, 3)
+        mask_p = jnp.pad(vox["voxel_mask"], ((0, 0), (0, 1))).reshape(-1)
+        pfn = PillarFeatureNet(
+            feat_channels=(20,), voxel_size=model.voxel_layer.voxel_size,
+            point_cloud_range=model.point_cloud_range, dtype=BF,
+            name="voxel_encoder")
+        feats = pfn.apply(
+            {"params": variables["params"]["voxel_encoder"],
+             "batch_stats": variables["batch_stats"]["voxel_encoder"]},
+            None, counts_p, coords_p, mask_p, False,
+            points=vox["points"].reshape(b * p, -1), seg=seg,
+            pt_valid=vox["pt_valid"].reshape(-1),
+            max_slots=model.voxel_layer.max_voxel_points)
+        return feats
+
+    fn = jax.jit(pfn_scatter_point)
+    timed("PFN point path (segment ops)", fn, variables, vox)
+
+    feats = fn(variables, vox)
+    sync(feats)
+
+    def scatter_grid(feats, vox):
+        b, v = vox["voxel_mask"].shape
+        f = feats.reshape(1, -1, 20)[:, :v].reshape(b * v, 20)
+        fc = vox["coords"].reshape(b * v, 3)
+        fm = vox["voxel_mask"].reshape(b * v)
+        bi = jnp.repeat(jnp.arange(b), v)
+        zi = jnp.where(fm, fc[:, 0], D)
+        yi = jnp.where(fm, fc[:, 1], H)
+        xi = jnp.where(fm, fc[:, 2], W)
+        return jnp.zeros((b, D, H, W, 20), BF).at[bi, zi, yi, xi].set(
+            f.astype(BF), mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+
+    timed("grid scatter (B=1)", jax.jit(scatter_grid), feats, vox)
+
 if "encz" in SECTIONS:
     from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
 
