@@ -161,6 +161,7 @@ class PointPillars(BaseModel):
                 self.tpu_cfg.get("pallas_subm_conv", False)),
             zfold_convs=bool(self.tpu_cfg.get("zfold_convs", False)),
             zfold_pallas=bool(self.tpu_cfg.get("zfold_pallas", False)),
+            fused_stages=bool(self.tpu_cfg.get("fused_stages", False)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),

@@ -23,6 +23,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import flax.linen as nn
 
 
@@ -107,6 +108,18 @@ class MaskedBatchNorm(nn.Module):
         y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
         y = y * scale.astype(x.dtype) + bias.astype(x.dtype)
         return y * m.astype(x.dtype)
+
+    def eval_affine(self):
+        """Eval-mode equivalent affine: y = a*x + b at active sites.
+
+        Reads the variables created by ``__call__`` (apply-time only; the
+        fused-stage path folds these into its kernel epilogue)."""
+        scale = self.get_variable("params", "scale")
+        bias = self.get_variable("params", "bias")
+        mean = self.get_variable("batch_stats", "mean")
+        var = self.get_variable("batch_stats", "var")
+        a = scale * jax.lax.rsqrt(var + self.eps)
+        return a, bias - mean * a
 
 
 class PFNLayer(nn.Module):
@@ -391,6 +404,12 @@ class SparseMiddleExtractor(nn.Module):
     # run the folded 3x3 conv through the Pallas 9-tap GEMM kernel
     # (ops/zfold_conv.py) instead of XLA's conv emitter; TPU only
     zfold_pallas: bool = False
+    # fuse whole narrow stages (subm conv + BN/relu/mask + z-down conv +
+    # BN/relu/mask) into one Pallas kernel (ops/fused_stage.py) at eval
+    # time — the encoder is HBM-bandwidth-bound on this platform and the
+    # fusion cuts per-stage traffic ~4x.  TPU inference only; training
+    # and init use the unfused lowerings (identical parameters).
+    fused_stages: bool = False
 
     def _decompose_stage(self, stage):
         if isinstance(self.decompose_convs, bool):
@@ -559,6 +578,125 @@ class SparseMiddleExtractor(nn.Module):
         return jnp.einsum("bdkhwc,kco->bdhwo", slices,
                           kernel.astype(x.dtype))
 
+    @staticmethod
+    def _fused_zb(c, ch, d):
+        """z block for the fused stage kernel: even zb with
+        (zb+2)*c <= 128 and zb*ch <= 128; 0 = unsupported."""
+        zb = min(128 // c - 2, 128 // ch)
+        zb -= zb % 2
+        if zb < 2 or d < 3:
+            return 0
+        return zb
+
+    def _fused_stage(self, x, mask, ch, i):
+        """One encoder stage through the fused Pallas kernel.
+
+        Equivalent (eval mode) to: subm conv -> *mask -> BN -> relu ->
+        down conv -> BN(maxpooled mask) -> relu.  See ops/fused_stage.py
+        for the kernel contract; everything here is the (cheap) XLA-side
+        packing of folded inputs, banded weights, affines and selectors.
+        """
+        from objectdetection_3d_tpu.ops.fused_stage import fused_stage_call
+
+        b, d, h, w, c = x.shape
+        zb = self._fused_zb(c, ch, d)
+        dblk = -(-d // zb)
+        d_out = (d - 3) // 2 + 1
+        hp = -(-h // 8) * 8
+        wb = -(-(w + 2) // 16) * 16
+        cf = (zb + 2) * c
+
+        kernel = self.param(f"subm_{i}_kernel",
+                            nn.initializers.lecun_normal(),
+                            (3, 3, 3, c, ch))
+        kd = self.param(f"down_{i}_kernel",
+                        nn.initializers.lecun_normal(), (3, ch, ch))
+        a_s, b_s = MaskedBatchNorm(
+            name=f"subm_bn_{i}").eval_affine()
+        a_d, b_d = MaskedBatchNorm(
+            name=f"down_bn_{i}").eval_affine()
+
+        # ---- folded input (+1 zero pad block per item, +1 global) ----
+        xp = jnp.pad(x, ((0, 0), (1, dblk * zb + 1 - d), (1, hp - h + 1),
+                         (0, wb - w), (0, 0)))
+        xo = jnp.stack([xp[:, k * zb:k * zb + zb + 2]
+                        for k in range(dblk)], 1)
+        xo = jnp.transpose(xo, (0, 1, 3, 4, 2, 5)).reshape(
+            b, dblk, hp + 2, wb, cf)
+        xo = jnp.pad(xo, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 128 - cf)))
+        xo = xo.reshape(b * (dblk + 1), hp + 2, wb, 128)
+        xo = jnp.pad(xo, ((0, 1), (0, 0), (0, 0), (0, 0)))
+
+        # ---- slice-activity masks: slot j of block k = z slice
+        # k*zb - 1 + j ----
+        wm = -(-w // 128) * 128
+        mp = jnp.pad(mask, ((0, 0), (1, dblk * zb + 7 - d), (0, hp - h),
+                            (0, wm - w)))
+        mwin = jnp.stack([mp[:, k * zb:k * zb + 8] for k in range(dblk)],
+                         1)                        # (B, dblk, 8, Hp, Wm)
+        mwin = jnp.transpose(mwin, (0, 1, 3, 2, 4))
+        mwin = jnp.pad(mwin, ((0, 0), (0, 1), (0, 0), (0, 0), (0, 0)))
+        mask_f = mwin.reshape(b * (dblk + 1), hp, 8, wm).astype(x.dtype)
+
+        # ---- banded subm weights (9, 128, 128) ----
+        kf = jnp.zeros((3, 3, cf, zb * ch), jnp.float32)
+        for a in range(zb):
+            for dz in range(3):
+                j = a + dz
+                kf = kf.at[:, :, j * c:(j + 1) * c,
+                           a * ch:(a + 1) * ch].set(kernel[dz])
+        w9 = jnp.pad(kf, ((0, 0), (0, 0), (0, 128 - cf),
+                          (0, 128 - zb * ch))).reshape(9, 128, 128)
+
+        # ---- down weights: rows = subm-out channels (own block |
+        # halo block), cols = (z' group, ch) ----
+        wd1 = jnp.zeros((128, 128), jnp.float32)
+        wd2 = jnp.zeros((128, 128), jnp.float32)
+        for a in range(zb // 2):
+            for t in range(3):
+                s = 2 * a + t
+                if s < zb:
+                    wd1 = wd1.at[s * ch:(s + 1) * ch,
+                                 a * ch:(a + 1) * ch].set(kd[t])
+                else:
+                    wd2 = wd2.at[:ch, a * ch:(a + 1) * ch].set(kd[t])
+        wd = jnp.stack([wd1, wd2]).astype(x.dtype)
+
+        # ---- BN affines tiled per z group ----
+        def tile_vec(v, groups):
+            return jnp.pad(jnp.tile(v, groups),
+                           (0, 128 - groups * ch))
+
+        vecs = jnp.stack([
+            tile_vec(a_s, zb), tile_vec(b_s, zb),
+            tile_vec(a_d, zb // 2), tile_vec(b_d, zb // 2),
+        ]).astype(jnp.float32)
+
+        # ---- mask selectors (slot j -> channel multipliers) ----
+        sel = np.zeros((5, 8, 128), np.float32)
+        for s in range(zb):
+            sel[0, s + 1, s * ch:(s + 1) * ch] = 1.0   # subm own block
+        sel[1, zb + 1, :ch] = 1.0                      # subm halo slice
+        for a in range(zb // 2):
+            for t in range(3):
+                sel[2 + t, 2 * a + t + 1, a * ch:(a + 1) * ch] = 1.0
+        sel = jnp.asarray(sel, x.dtype)
+
+        out = fused_stage_call(xo.astype(self.dtype), mask_f,
+                               w9.astype(self.dtype), wd, vecs, sel)
+
+        # ---- unfold: (B*(dblk+1), Hp, Wb, 128) -> (B, D', H, W, ch) ----
+        out = out.reshape(b, dblk + 1, hp, wb, 128)[
+            :, :dblk, :h, :w, :(zb // 2) * ch]
+        out = out.reshape(b, dblk, h, w, zb // 2, ch)
+        out = jnp.transpose(out, (0, 1, 4, 2, 3, 5)).reshape(
+            b, dblk * (zb // 2), h, w, ch)[:, :d_out]
+
+        new_mask = jax.lax.reduce_window(
+            mask, -jnp.inf, jax.lax.max, (1, 3, 1, 1), (1, 2, 1, 1),
+            "VALID")
+        return out, new_mask
+
     @nn.compact
     def __call__(self, grid, mask, train: bool):
         """
@@ -574,6 +712,13 @@ class SparseMiddleExtractor(nn.Module):
         x = grid.astype(self.dtype)
         mask = mask.astype(self.dtype)
         for i, ch in enumerate(self.out_channels):
+            if (self.fused_stages and not train
+                    and not self.is_initializing()
+                    and not self._decompose_stage(i)
+                    and self._fused_zb(x.shape[-1], ch, x.shape[1])
+                    and jax.default_backend() == "tpu"):
+                x, mask = self._fused_stage(x, mask, ch, i)
+                continue
             x = self._subm_conv3d(x, ch, f"subm_{i}_kernel", train,
                                   stage=i)
             x = x * mask[..., None]

@@ -71,6 +71,7 @@ class PointPillarsNet(nn.Module):
     # (see SparseMiddleExtractor.zfold_convs)
     zfold_convs: bool = False
     zfold_pallas: bool = False
+    fused_stages: bool = False
 
     @nn.compact
     def __call__(self, voxels, num_points, coords, voxel_mask, train: bool,
@@ -150,7 +151,11 @@ class PointPillarsNet(nn.Module):
             yi = jnp.where(fm, fc[:, 1], h)
             xi = jnp.where(fm, fc[:, 2], w)
             # voxel cells arrive sorted in (z, y, x) raster order — exactly
-            # this grid's memory layout, so the scatter indices are sorted
+            # this grid's memory layout, so the scatter indices are sorted.
+            # (A 128-lane-padded row scatter is 2.5x faster in isolation
+            # but loses it all to the downstream channel-slice relayout
+            # and quadruples the grid allocation — measured e2e-neutral
+            # at B=1 and OOM at B=2, so the plain form stays.)
             grid = jnp.zeros((b, d, h, w, cf), feats.dtype).at[
                 bi, zi, yi, xi].set(feats, mode="drop",
                                     unique_indices=True,
@@ -174,6 +179,7 @@ class PointPillarsNet(nn.Module):
                 pallas_subm=self.pallas_subm,
                 zfold_convs=self.zfold_convs,
                 zfold_pallas=self.zfold_pallas,
+                fused_stages=self.fused_stages,
                 name="pseudoimage_generator",
             )(grid, mask, train)
 

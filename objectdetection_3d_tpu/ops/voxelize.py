@@ -108,7 +108,9 @@ def voxelize(
     cell_s, _, order = jax.lax.sort(
         (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
     pts_s = points[order]
-    cell3_s = cell3[order]
+    # recompute cells from the sorted points: cheaper than a second
+    # 200k-row gather (row gathers cost ~35 ns/row on v5e)
+    cell3_s = jnp.floor((pts_s[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
 
     # run decomposition without any scatters (TPU scatters serialize; the
     # whole finalization below is searchsorted + gathers):
@@ -225,7 +227,9 @@ def voxelize_points(
     cell_s, _, order = jax.lax.sort(
         (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
     pts_s = points[order]
-    cell3_s = cell3[order]
+    # recomputing cells from the sorted points is cheaper than a second
+    # 200k-row gather (row gathers cost ~35 ns/row on v5e)
+    cell3_s = jnp.floor((pts_s[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
 
     first = jnp.concatenate(
         [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)

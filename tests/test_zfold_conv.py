@@ -64,3 +64,23 @@ def test_flag_falls_through_on_cpu():
                                   zfold_convs=True, zfold_pallas=True)
     y1, _ = enc_p.apply(v, grid, mask, False)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
+
+
+def test_fused_stage_flag_falls_through_on_cpu():
+    """fused_stages off-TPU must silently use the unfused stages."""
+    from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
+
+    rng = np.random.default_rng(4)
+    grid = jnp.asarray(rng.normal(0, 1, (1, 9, 8, 8, 4)).astype(
+        np.float32))
+    mask = (jnp.asarray(rng.uniform(size=(1, 9, 8, 8))) < 0.5).astype(
+        jnp.float32)
+    grid = grid * mask[..., None]
+    enc = SparseMiddleExtractor(in_channels=4, out_channels=(6, 8))
+    v = enc.init(jax.random.PRNGKey(0), grid, mask, False)
+    y0, m0 = enc.apply(v, grid, mask, False)
+    enc_f = SparseMiddleExtractor(in_channels=4, out_channels=(6, 8),
+                                  fused_stages=True)
+    y1, m1 = enc_f.apply(v, grid, mask, False)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))

@@ -210,6 +210,77 @@ if "pointpfn" in SECTIONS:
 
     timed("grid scatter (B=1)", jax.jit(scatter_grid), feats, vox)
 
+if "scatter2" in SECTIONS:
+    # alternatives for the voxel->grid materialization and the
+    # voxelize_points internals (both far above their traffic floor)
+    vp = jax.jit(jax.vmap(model.voxel_layer.points))
+    vox = vp(batch["points"], batch["num_points"])
+    sync(vox["points"])
+    feats = jax.jit(lambda k: jax.random.normal(k, (V, 20), BF))(
+        jax.random.PRNGKey(3))
+    sync(feats)
+    cc = vox["coords"][0]
+    fm = vox["voxel_mask"][0]
+    cell_flat = jnp.where(
+        fm, (cc[:, 0] * H + cc[:, 1]) * W + cc[:, 2], D * H * W)
+
+    def scat_4d(f, cc, fm):
+        zi = jnp.where(fm, cc[:, 0], D)
+        yi = jnp.where(fm, cc[:, 1], H)
+        xi = jnp.where(fm, cc[:, 2], W)
+        return jnp.zeros((D, H, W, 20), BF).at[zi, yi, xi].set(
+            f, mode="drop", unique_indices=True, indices_are_sorted=True)
+
+    timed("scatter 4d-idx (baseline)", jax.jit(scat_4d), feats, cc, fm)
+
+    def scat_flat(f, cell):
+        return jnp.zeros((D * H * W, 20), BF).at[cell].set(
+            f, mode="drop", unique_indices=True,
+            indices_are_sorted=True).reshape(D, H, W, 20)
+
+    timed("scatter flat-1d", jax.jit(scat_flat), feats, cell_flat)
+
+    def scat_flat128(f, cell):
+        fpad = jnp.pad(f, ((0, 0), (0, 108)))
+        return jnp.zeros((D * H * W, 128), BF).at[cell].set(
+            fpad, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+
+    timed("scatter flat-1d 128ch", jax.jit(scat_flat128), feats,
+          cell_flat)
+
+    def inverse_gather(f, cell):
+        qi = jnp.arange(D * H * W)
+        pos = jnp.searchsorted(cell, qi, side="left")
+        posc = jnp.clip(pos, 0, V - 1)
+        hit = cell[posc] == qi
+        out = jnp.where(hit[:, None], f[posc], 0)
+        return out.reshape(D, H, W, 20)
+
+    timed("inverse searchsorted+gather", jax.jit(inverse_gather), feats,
+          cell_flat)
+
+    # voxelize_points internals
+    pts = batch["points"][0]
+    n = batch["num_points"][0]
+
+    def sort_only(points, num_points):
+        p = points.shape[0]
+        idx = jnp.arange(p)
+        cell = jnp.where(idx < num_points, idx // 3, p)
+        return jax.lax.sort((cell.astype(jnp.int32), -points[:, 3],
+                             idx.astype(jnp.int32)), num_keys=2,
+                            is_stable=True)
+
+    timed("3-key sort only (P=200k)", jax.jit(sort_only), pts, n)
+
+    def gather_rows(points, order):
+        return points[order]
+
+    _, _, order = jax.jit(sort_only)(pts, n)
+    sync(order)
+    timed("row gather (P=200k, C=4)", jax.jit(gather_rows), pts, order)
+
 if "encz" in SECTIONS:
     from objectdetection_3d_tpu.models.layers import SparseMiddleExtractor
 
