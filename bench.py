@@ -39,9 +39,11 @@ def main():
 
     model = PointPillars(**g._flagship_cfg())
     variables = model.init_variables(jax.random.PRNGKey(0))
+    # the workload is pinned at 100k real points regardless of the
+    # static padding budget
     batch = g._synth_batch(1, model.tpu_cfg["max_points_static"],
                            model.tpu_cfg["max_gt_static"],
-                           model.point_cloud_range)
+                           model.point_cloud_range, n_points=100_000)
 
     def sync(out):
         """Force completion: block_until_ready does NOT reliably block on
@@ -90,7 +92,8 @@ def main():
     k = 8
     batches = [g._synth_batch(1, model.tpu_cfg["max_points_static"],
                               model.tpu_cfg["max_gt_static"],
-                              model.point_cloud_range, seed=s)
+                              model.point_cloud_range, seed=s,
+                              n_points=100_000)
                for s in range(k)]
     drain = jax.jit(lambda outs: sum(o["score"].sum() for o in outs))
 

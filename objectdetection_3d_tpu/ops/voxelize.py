@@ -108,9 +108,6 @@ def voxelize(
     cell_s, _, order = jax.lax.sort(
         (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
     pts_s = points[order]
-    # recompute cells from the sorted points: cheaper than a second
-    # 200k-row gather (row gathers cost ~35 ns/row on v5e)
-    cell3_s = jnp.floor((pts_s[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
 
     # run decomposition without any scatters (TPU scatters serialize; the
     # whole finalization below is searchsorted + gathers):
@@ -142,10 +139,14 @@ def voxelize(
     slot_valid = (slot[None, :] < counts[:, None])
     voxels = pts_s[src] * slot_valid[..., None].astype(points.dtype)
 
-    # store (z, y, x) like the reference's flipped coords
+    # store (z, y, x) like the reference's flipped coords; decoding the
+    # flat cell id is cheaper than gathering three coordinate columns
     head_src = jnp.clip(starts, 0, p - 1)
-    coords = jnp.where(voxel_mask[:, None],
-                       cell3_s[head_src][:, ::-1], -1).astype(jnp.int32)
+    vcell = cell_s[head_src]
+    coords = jnp.stack([vcell // (grid[0] * grid[1]),
+                        (vcell // grid[0]) % grid[1],
+                        vcell % grid[0]], axis=-1)
+    coords = jnp.where(voxel_mask[:, None], coords, -1).astype(jnp.int32)
     return {
         "voxels": voxels,
         "coords": coords,
@@ -227,9 +228,6 @@ def voxelize_points(
     cell_s, _, order = jax.lax.sort(
         (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
     pts_s = points[order]
-    # recomputing cells from the sorted points is cheaper than a second
-    # 200k-row gather (row gathers cost ~35 ns/row on v5e)
-    cell3_s = jnp.floor((pts_s[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
 
     first = jnp.concatenate(
         [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)
@@ -264,8 +262,11 @@ def voxelize_points(
     ).astype(jnp.int32)
 
     head_src = jnp.clip(starts, 0, p - 1)
-    coords = jnp.where(voxel_mask[:, None],
-                       cell3_s[head_src][:, ::-1], -1).astype(jnp.int32)
+    vcell = cell_s[head_src]
+    coords = jnp.stack([vcell // (grid[0] * grid[1]),
+                        (vcell // grid[0]) % grid[1],
+                        vcell % grid[0]], axis=-1)
+    coords = jnp.where(voxel_mask[:, None], coords, -1).astype(jnp.int32)
     return {
         "points": pts_s,
         "pt_voxel": pt_voxel,
