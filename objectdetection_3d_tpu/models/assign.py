@@ -55,7 +55,7 @@ def _blockwise_topk(ub, k, block):
     all of them.  Measured ~17x faster at N=1.92M, k=512, block=128.
 
     Args:
-        ub: (G', N) scores, >= 0 (zeros are "no overlap").
+        ub: (G', N) scores (any real values).
         k: candidates per row; block: anchors per block.
     Returns:
         (G', k) int32 indices into N.
@@ -64,7 +64,9 @@ def _blockwise_topk(ub, k, block):
     nb = -(-n // block)
     pad = nb * block - n
     if pad:
-        ub = jnp.pad(ub, ((0, 0), (0, pad)), constant_values=-1.0)
+        # -inf: scores may be arbitrary reals (raw logits), padding must
+        # never win a top-k slot
+        ub = jnp.pad(ub, ((0, 0), (0, pad)), constant_values=-jnp.inf)
     bmax = ub.reshape(g, nb, block).max(-1)
     kb = min(k, nb)
     bidx = jax.lax.top_k(bmax, kb)[1]                     # (G', kb)

@@ -413,9 +413,14 @@ class PointPillars(BaseModel):
 
         # top-k runs on raw logits (sigmoid is monotone); every other
         # per-anchor computation happens on the nms_pre survivors only —
-        # no full-size elementwise passes over the 1.9M-anchor tensors
+        # no full-size elementwise passes over the 1.9M-anchor tensors.
+        # The two-level exact block top-k replaces lax.top_k, which is
+        # pathologically slow at N~1.9M on TPU (see models/assign.py)
+        from objectdetection_3d_tpu.models.assign import _blockwise_topk
+
         logits = cls.reshape(-1, c)
-        _, top_idx = jax.lax.top_k(jnp.max(logits, axis=-1), nms_pre)
+        row = jnp.max(logits, axis=-1)
+        top_idx = _blockwise_topk(row[None, :], nms_pre, 128)[0]
         anchors_sel = anchors[top_idx]
         deltas_sel = reg.reshape(-1, self.box_params_num)[top_idx]
         boxes = self.bbox_coder.decode(anchors_sel, deltas_sel)
