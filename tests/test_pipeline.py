@@ -205,3 +205,37 @@ def test_latest_ckpt_natural_sort(tmp_path):
     for name in ("ckpt_00002.pkl", "ckpt_00010.pkl", "ckpt_best.pkl"):
         (tmp_path / name).write_bytes(b"x")
     assert latest_ckpt(str(tmp_path)).endswith("ckpt_00010.pkl")
+
+
+def test_preemption_checkpoints_and_stops(workspace, tmp_path):
+    """SIGINT mid-training writes a checkpoint at the epoch boundary and
+    stops cleanly (resumable) instead of killing the process."""
+    import signal
+    import threading
+    import time
+
+    cfg = make_cfg(workspace)
+    cfg.pipeline["max_epoch"] = 30  # far more than can run pre-signal
+    cfg.global_args["output_path"] = str(tmp_path / "preempt_out") + "/"
+    global_cfg = cfg.dump()
+    cfg_dataset, cfg_pipeline, cfg_model = Config.initialize_params(cfg)
+    dataset = Forest3D(**cfg_dataset)
+    model = PointPillars(**cfg_model)
+    pipeline = ObjectDetection(model, dataset, global_cfg, **cfg_pipeline)
+
+    def trigger():
+        # wait until run_training has installed its handlers (it sets
+        # _preempted = False right before), then signal the process
+        while not hasattr(pipeline, "_preempted"):
+            time.sleep(0.1)
+        time.sleep(0.3)
+        signal.raise_signal(signal.SIGINT)
+
+    t = threading.Thread(target=trigger, daemon=True)
+    t.start()
+    record = pipeline.run_training()  # must return, not raise
+    t.join(timeout=5)
+
+    assert len(record) < 30, "training should have stopped early"
+    ckpts = os.listdir(os.path.join(pipeline.cfg.log_dir, "checkpoint"))
+    assert any(c.startswith("ckpt_") for c in ckpts)
