@@ -349,14 +349,19 @@ class PillarFeatureNet(nn.Module):
         centroid = jax.ops.segment_sum(
             xyz * validf, seg, num_segments=nseg,
             indices_are_sorted=True) / cnt[:, None]
-        centroid_off = xyz - centroid[seg]
 
         vx, vy = float(self.voxel_size[0]), float(self.voxel_size[1])
         x_off = vx / 2 + float(self.point_cloud_range[0])
         y_off = vy / 2 + float(self.point_cloud_range[1])
-        cc = coords[seg].astype(points.dtype)
-        px = points[:, 0] - (cc[:, 2] * vx + x_off)
-        py = points[:, 1] - (cc[:, 1] * vy + y_off)
+        # one fused per-point gather: [centroid xyz, pillar-center xy]
+        # (row gathers cost ~35 ns/row here — don't pay twice)
+        pil = jnp.stack([
+            coords[:, 2].astype(points.dtype) * vx + x_off,
+            coords[:, 1].astype(points.dtype) * vy + y_off], axis=-1)
+        ref5 = jnp.concatenate([centroid, pil], axis=-1)[seg]
+        centroid_off = xyz - ref5[:, :3]
+        px = points[:, 0] - ref5[:, 3]
+        py = points[:, 1] - ref5[:, 4]
 
         feats = jnp.concatenate(
             [points, centroid_off, px[:, None], py[:, None]],

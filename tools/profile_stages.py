@@ -249,6 +249,19 @@ if "scatter2" in SECTIONS:
     timed("scatter flat-1d 128ch", jax.jit(scat_flat128), feats,
           cell_flat)
 
+    def scat_4d_pad32(f, cc, fm):
+        zi = jnp.where(fm, cc[:, 0], D)
+        yi = jnp.where(fm, cc[:, 1], H)
+        xi = jnp.where(fm, cc[:, 2], W)
+        fpad = jnp.pad(f, ((0, 0), (0, 12)))
+        g = jnp.zeros((D, H, W, 32), BF).at[zi, yi, xi].set(
+            fpad, mode="drop", unique_indices=True,
+            indices_are_sorted=True)
+        return g[..., :20]
+
+    timed("scatter 4d 32ch-pad + slice", jax.jit(scat_4d_pad32), feats,
+          cc, fm)
+
     def inverse_gather(f, cell):
         qi = jnp.arange(D * H * W)
         pos = jnp.searchsorted(cell, qi, side="left")
