@@ -1,7 +1,8 @@
 """Stage-level profiling of flagship inference on the real chip.
 
 Usage: python tools/profile_stages.py [section ...]
-Sections: vox fwd pfn enc rpn tail s1 sparse
+Sections: vox fwd pfn pointpfn scatter2 enc encz fwdz s1parts rpn tail
+          s1 sparse train trainz batched zf
 Each timing is a separate jit program; first call includes (remote) compile.
 Timings use a forced scalar readback (block_until_ready no-ops on axon);
 every number therefore carries ~27 ms of RPC sync overhead.
