@@ -10,6 +10,7 @@ All functions take jnp arrays and are safe under `jax.jit` / `vmap`.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # TPU matmuls default to bf16; geometry needs full f32 accumulation.
 _HI = jax.lax.Precision.HIGHEST
@@ -17,7 +18,10 @@ _HI = jax.lax.Precision.HIGHEST
 # Corner layout (reference ops/ops_torch.py:163-195):
 #   p0=(-,-,z) p1=(+,-,z) p2=(+,+,z) p3=(-,+,z)   bottom
 #   p4..p7 same xy at z+dz                         top
-_CORNER_SIGNS = jnp.array(
+# np (not jnp): module-level jnp constants would initialize the JAX backend
+# at import time, which breaks hermetic CPU-only subprocesses (the driver's
+# dryrun_multichip); jnp ops coerce np operands on use at no cost.
+_CORNER_SIGNS = np.array(
     [
         [-1.0, -1.0, 0.0],
         [1.0, -1.0, 0.0],
@@ -34,7 +38,7 @@ _CORNER_SIGNS = jnp.array(
 # volume; the reference stores the pytorch3d plane list instead
 # (ops/ops_torch.py:270-276) — ours is reordered so every face normal points
 # out of the box.
-FACES_OUTWARD = jnp.array(
+FACES_OUTWARD = np.array(
     [
         [0, 3, 2, 1],  # bottom  (-z)
         [4, 5, 6, 7],  # top     (+z)
