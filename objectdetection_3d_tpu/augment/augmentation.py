@@ -139,16 +139,19 @@ class ObjdetAugmentation(Augmentation):
 
     def __init__(self, cfg, seed=None):
         super().__init__(cfg, seed=seed)
+        import threading
+        self._db_lock = threading.Lock()
         for name in (cfg or {}):
             if name not in KNOWN_METHODS:
                 warnings.warn(f"Augmentation method : {name} does not "
                               "exist. Please verify!")
 
-    def PointShuffle(self, data):
-        data["point"] = npo.point_shuffle(data["point"], self.rng)
+    def PointShuffle(self, data, rng=None):
+        data["point"] = npo.point_shuffle(
+            data["point"], rng if rng is not None else self.rng)
         return data
 
-    def ObjectSample(self, data, cfg):
+    def ObjectSample(self, data, cfg, rng=None):
         """Paste collision-checked GT-database objects into the scene.
 
         The reference names this augmentation and ships its support ops
@@ -169,8 +172,11 @@ class ObjdetAugmentation(Augmentation):
             load_gt_database)
         from objectdetection_3d_tpu.ops import sampling
 
+        rng = rng if rng is not None else self.rng
         if getattr(self, "_gt_db", None) is None:
-            self._gt_db = load_gt_database(cfg["db_path"])
+            with self._db_lock:
+                if getattr(self, "_gt_db", None) is None:
+                    self._gt_db = load_gt_database(cfg["db_path"])
 
         points = np.asarray(data["point"], np.float32)
         boxes = np.asarray(data["bboxes"], np.float32).reshape(-1, 9)
@@ -190,7 +196,7 @@ class ObjdetAugmentation(Augmentation):
             if want <= 0 or not candidates:
                 continue
             picked = sampling.sample_class(want, scene_boxes, candidates,
-                                           rng=self.rng)
+                                           rng=rng)
             new_entries.extend(picked)
             scene_boxes.extend(np.asarray(e["bbox"], np.float32)
                                for e in picked)
@@ -230,24 +236,26 @@ class ObjdetAugmentation(Augmentation):
         cfg = self.cfg
         if cfg is None:
             return data
-        if seed is not None:
-            # per-worker RNG override keeps parallel loading reproducible
-            self.rng = np.random.default_rng(seed)
+        # Per-item RNG flows down as a local — NEVER assigned to self.rng:
+        # a single augmentor is shared by all DataLoader worker threads,
+        # and mutating shared state would race, breaking the loader's
+        # worker-count-invariant determinism.
+        rng = np.random.default_rng(seed) if seed is not None else self.rng
 
         if cfg.get("recenter"):
-            data["point"] = self.recenter(data["point"], cfg["recenter"])
+            data["point"] = recenter(rng, data["point"], cfg["recenter"])
         if "normalize" in cfg:
-            data["point"], _ = self.normalize(data["point"], None,
-                                              cfg["normalize"])
+            data["point"], _ = normalize(rng, data["point"], None,
+                                         cfg["normalize"])
         if "rotate" in cfg:
-            data["point"] = self.rotate(data["point"], cfg["rotate"])
+            data["point"] = rotate(rng, data["point"], cfg["rotate"])
         if "scale" in cfg:
-            data["point"] = self.scale(data["point"], cfg["scale"])
+            data["point"] = scale(rng, data["point"], cfg["scale"])
         if cfg.get("ObjectSample", False):
-            data = self.ObjectSample(data, cfg["ObjectSample"])
+            data = self.ObjectSample(data, cfg["ObjectSample"], rng=rng)
         if cfg.get("ObjectRangeFilter", False):
             data = self.ObjectRangeFilter(
                 data, cfg["ObjectRangeFilter"]["point_cloud_range"])
         if cfg.get("PointShuffle", False):
-            data = self.PointShuffle(data)
+            data = self.PointShuffle(data, rng=rng)
         return data

@@ -356,12 +356,22 @@ class PointPillars(BaseModel):
             tx = optax.chain(optax.clip(float(grad_clip_value)), tx)
         return tx
 
-    def make_train_step(self, tx, donate=True):
-        """Build the jitted training step.
+    def train_step_fn(self, tx, out_constraint=None):
+        """The un-jitted training step closure shared by every execution
+        mode (single-chip jit, data-parallel mesh, 2-D data x space mesh —
+        parallel/data_parallel.py jits this same function with sharding
+        annotations, so on-device augmentation and rng threading behave
+        identically everywhere).
 
-        state = {'params', 'batch_stats', 'opt_state'}.
+        Args:
+            tx: optax transform.
+            out_constraint: optional fn mapping the (cls, reg, dirs) head
+                outputs to sharding-constrained versions (spatial
+                partitioning hint; XLA propagates it backward through the
+                conv stack).
+        Returns:
+            step(state, batch, anchors, anchor_aabb) -> (state, losses).
         """
-
         device_augment = self.device_augment
 
         def step(state, batch, anchors, anchor_aabb):
@@ -375,6 +385,8 @@ class PointPillars(BaseModel):
                 variables = {"params": params,
                              "batch_stats": state["batch_stats"]}
                 outs, new_bs = self.apply(variables, batch, train=True)
+                if out_constraint is not None:
+                    outs = out_constraint(outs)
                 losses = self.loss(outs, batch, anchors, anchor_aabb)
                 total = sum(losses.values())
                 return total, (losses, new_bs)
@@ -390,6 +402,14 @@ class PointPillars(BaseModel):
                 new_state["rng"] = rng
             return new_state, losses
 
+        return step
+
+    def make_train_step(self, tx, donate=True):
+        """Build the jitted training step.
+
+        state = {'params', 'batch_stats', 'opt_state'[, 'rng']}.
+        """
+        step = self.train_step_fn(tx)
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
         def run(state, batch):
@@ -468,8 +488,9 @@ class PointPillars(BaseModel):
 
         return run
 
-    def make_eval_fn(self):
-        """Jitted single-forward eval: losses + decoded detections."""
+    def eval_step_fn(self):
+        """Un-jitted eval closure (losses + decoded detections), shared by
+        the single-chip and mesh-sharded eval paths."""
 
         def eval_step(variables, batch, anchors, anchor_aabb):
             outs, _ = self.apply(variables, batch, train=False)
@@ -480,7 +501,11 @@ class PointPillars(BaseModel):
                                                       anchors)
             return losses, preds
 
-        jitted = jax.jit(eval_step)
+        return eval_step
+
+    def make_eval_fn(self):
+        """Jitted single-forward eval: losses + decoded detections."""
+        jitted = jax.jit(self.eval_step_fn())
 
         def run(variables, batch):
             return jitted(variables, batch, self.anchors,

@@ -56,7 +56,14 @@ def build_index_map(cell_flat, grid_dhw):
     """
     d, h, w = grid_dhw
     v = cell_flat.shape[0]
-    return jnp.full((d * h * w + 1,), v, jnp.int32).at[cell_flat].set(
+    sentinel = d * h * w
+    # every padding row holds the same sentinel id, so scattering cell_flat
+    # directly would violate unique_indices (UB: map[sentinel] could alias
+    # an arbitrary padding row).  Route padding rows one past the sentinel
+    # slot instead — dropped by mode='drop' — so indices really are unique
+    # and map[sentinel] keeps its initialized value V (the zero pad row).
+    idx = jnp.where(cell_flat < sentinel, cell_flat, sentinel + 1)
+    return jnp.full((sentinel + 1,), v, jnp.int32).at[idx].set(
         jnp.arange(v, dtype=jnp.int32), mode="drop",
         unique_indices=True, indices_are_sorted=True)
 

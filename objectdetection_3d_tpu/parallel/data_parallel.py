@@ -48,37 +48,61 @@ def shard_batch(mesh, axis_name="data"):
     return NamedSharding(mesh, P(axis_name))
 
 
-def make_sharded_train_step(model, tx, mesh, axis_name="data",
-                            donate=True):
-    """Data-parallel train step: state replicated, batch sharded.
+def make_mesh_2d(n_data, n_space, devices=None,
+                 data_axis="data", space_axis="space"):
+    """2-D (data x space) mesh: batch over ``data``, the pseudo-image's H
+    dimension over ``space`` (this workload's sequence-parallelism analog,
+    SURVEY §2.9)."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_data * n_space
+    if len(devices) < need:
+        raise ValueError(
+            f"requested a {n_data}x{n_space} mesh but only "
+            f"{len(devices)} JAX device(s) exist "
+            f"(backend={jax.default_backend()!r})")
+    grid = np.array(devices[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (data_axis, space_axis))
 
-    The per-device batch slice is ``batch_size / mesh.size``; batch_size
-    must divide evenly.  Loss semantics are identical to single-device
-    because every reduction in the loss (masked sums / avg_factor) is a
-    global sum the partitioner turns into a psum.
+
+def _space_constraint(mesh, data_axis, space_axis):
+    """Sharding hint on the (B, H, W, C) head outputs: H over ``space``.
+    XLA's SPMD partitioner propagates it backward through the whole conv
+    stack (grid scatter, vertical encoder, RPN) inserting halo exchanges
+    over ICI — so the big grid activations are split per chip and per-chip
+    HBM stops capping the batch size."""
+    sh = NamedSharding(mesh, P(data_axis, space_axis, None, None))
+
+    def constrain(outs):
+        return tuple(jax.lax.with_sharding_constraint(o, sh) for o in outs)
+
+    return constrain
+
+
+def make_sharded_train_step(model, tx, mesh, axis_name="data",
+                            space_axis=None, donate=True):
+    """Mesh-parallel train step: state replicated, batch sharded over
+    ``axis_name``; with ``space_axis`` set (2-D mesh) the pseudo-image's H
+    dimension is additionally sharded over it.
+
+    Delegates to ``model.train_step_fn`` — the SAME closure the
+    single-chip path jits — so on-device augmentation (``device_augment``
+    rng threading) and loss semantics are identical by construction.  The
+    per-device batch slice is ``batch_size / mesh.shape[axis_name]``;
+    batch_size must divide evenly.  Loss reductions (masked sums /
+    avg_factor) are global sums the partitioner turns into psums, so
+    sharded training matches single-device large-batch training.
     """
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
+    constraint = None
+    if space_axis is not None:
+        if space_axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no {space_axis!r} axis: "
+                             f"{mesh.axis_names}")
+        constraint = _space_constraint(mesh, axis_name, space_axis)
 
-    def step(state, batch, anchors, anchor_aabb):
-        import optax
-
-        def loss_closure(params):
-            variables = {"params": params,
-                         "batch_stats": state["batch_stats"]}
-            outs, new_bs = model.apply(variables, batch, train=True)
-            losses = model.loss(outs, batch, anchors, anchor_aabb)
-            total = sum(losses.values())
-            return total, (losses, new_bs)
-
-        grads, (losses, new_bs) = jax.grad(
-            loss_closure, has_aux=True)(state["params"])
-        updates, new_opt = tx.update(grads, state["opt_state"],
-                                     state["params"])
-        new_params = optax.apply_updates(state["params"], updates)
-        return ({"params": new_params, "batch_stats": new_bs,
-                 "opt_state": new_opt}, losses)
-
+    step = model.train_step_fn(tx, out_constraint=constraint)
     jitted = jax.jit(
         step,
         in_shardings=(repl, bsh, repl, repl),
@@ -128,6 +152,22 @@ def make_spatial_predict_fn(model, mesh, data_axis="data",
 
     def run(variables, batch):
         return jitted(variables, batch, model.anchors)
+
+    return run
+
+
+def make_sharded_eval_fn(model, mesh, axis_name="data"):
+    """Data-parallel eval: losses + decoded detections, batch sharded.
+    Jits the same closure as ``model.make_eval_fn``."""
+    repl = replicate(mesh)
+    bsh = shard_batch(mesh, axis_name)
+
+    jitted = jax.jit(model.eval_step_fn(),
+                     in_shardings=(repl, bsh, repl, repl),
+                     out_shardings=(repl, bsh))
+
+    def run(variables, batch):
+        return jitted(variables, batch, model.anchors, model.anchor_aabb)
 
     return run
 

@@ -65,6 +65,14 @@ class ObjectDetection(BasePipeline):
         self._eval_fn = None
         self._predict_fn = None
 
+        # multi-chip scale-out (SURVEY §2.9): data_parallel chips shard the
+        # batch, spatial_parallel chips shard the pseudo-image's H dim
+        self.data_parallel = max(int(self.cfg.get("data_parallel", 1) or 1),
+                                 1)
+        self.spatial_parallel = max(
+            int(self.cfg.get("spatial_parallel", 1) or 1), 1)
+        self._mesh = None
+
     # ------------------------------------------------------------------
     # checkpointing (reference pipeline/pipeline.py:36-96)
     # ------------------------------------------------------------------
@@ -174,9 +182,39 @@ class ObjectDetection(BasePipeline):
         log.addHandler(handler)
         self._log_file_handler = handler
 
+    def _multichip(self):
+        return self.data_parallel > 1 or self.spatial_parallel > 1
+
+    def _ensure_mesh(self):
+        """Build the device mesh requested by the ``data_parallel`` /
+        ``spatial_parallel`` pipeline config keys (None when both are 1)."""
+        if not self._multichip():
+            return None
+        if self._mesh is None:
+            from objectdetection_3d_tpu.parallel import (make_mesh,
+                                                         make_mesh_2d)
+            if self.spatial_parallel > 1:
+                self._mesh = make_mesh_2d(self.data_parallel,
+                                          self.spatial_parallel)
+            else:
+                self._mesh = make_mesh(self.data_parallel)
+            log.info("Device mesh: %s", dict(zip(self._mesh.axis_names,
+                                                 self._mesh.devices.shape)))
+        return self._mesh
+
+    def _global_batch(self, per_replica):
+        """Loader batch size: per-replica size x data-parallel replicas."""
+        return max(int(per_replica), 1) * self.data_parallel
+
     def _ensure_eval_fn(self):
         if self._eval_fn is None:
-            self._eval_fn = self.model.make_eval_fn()
+            mesh = self._ensure_mesh()
+            if mesh is not None:
+                from objectdetection_3d_tpu.parallel import (
+                    make_sharded_eval_fn)
+                self._eval_fn = make_sharded_eval_fn(self.model, mesh)
+            else:
+                self._eval_fn = self.model.make_eval_fn()
         return self._eval_fn
 
     def _ensure_predict_fn(self):
@@ -300,7 +338,8 @@ class ObjectDetection(BasePipeline):
             preprocess=self.model.preprocess,
             transform=self.model.transform,
             seed=self.cfg.get("seed", 0))
-        loader = DataLoader(split, self.batcher, batch_size=batch_size,
+        loader = DataLoader(split, self.batcher,
+                            batch_size=self._global_batch(batch_size),
                             prefetch=2,
                             num_workers=self.cfg.get("num_workers", 0))
         eval_fn = self._ensure_eval_fn()
@@ -429,15 +468,32 @@ class ObjectDetection(BasePipeline):
             seed=self.cfg.get("seed", 0))
         train_loader = DataLoader(
             train_split, self.batcher,
-            batch_size=self.cfg.get("training_batch_size", 1), prefetch=2,
+            batch_size=self._global_batch(
+                self.cfg.get("training_batch_size", 1)),
+            prefetch=2,
             num_workers=self.cfg.get("num_workers", 0))
 
         self.optimizer = self.model.get_optimizer(
             dict(self.cfg.get("optimizer", {})),
             grad_clip_value=self.cfg.get("grad_clip_norm", -1))
         self._init_state()
-        self._train_step = self.model.make_train_step(self.optimizer,
-                                                      donate=False)
+        mesh = self._ensure_mesh()
+        if mesh is not None:
+            from objectdetection_3d_tpu.parallel import (
+                make_sharded_train_step)
+            self._train_step = make_sharded_train_step(
+                self.model, self.optimizer, mesh,
+                space_axis="space" if self.spatial_parallel > 1 else None,
+                donate=False)
+            log.info("Training %d-way data-parallel%s (global batch %d)",
+                     self.data_parallel,
+                     (f" x {self.spatial_parallel}-way spatial"
+                      if self.spatial_parallel > 1 else ""),
+                     self._global_batch(
+                         self.cfg.get("training_batch_size", 1)))
+        else:
+            self._train_step = self.model.make_train_step(self.optimizer,
+                                                          donate=False)
         start_ep, _ = self.load_ckpt()
 
         record_path = join(self.cfg.log_dir, "training_record.csv")
@@ -462,8 +518,19 @@ class ObjectDetection(BasePipeline):
         self._preempted = False
 
         def _request_stop(signum, frame):
+            if self._preempted:
+                # second signal: the user really wants out NOW — restore
+                # the original handler and re-raise so repeated Ctrl-C is
+                # never swallowed for a whole epoch
+                log.warning("Second signal %s: aborting immediately",
+                            signum)
+                prev = old_handlers.get(signum, signal.SIG_DFL)
+                signal.signal(signum, prev)
+                signal.raise_signal(signum)
+                return
             log.warning("Signal %s received: will checkpoint and stop "
-                        "after the current epoch", signum)
+                        "after the current epoch (repeat to abort "
+                        "immediately)", signum)
             self._preempted = True
 
         old_handlers = {}

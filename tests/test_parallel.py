@@ -87,6 +87,73 @@ def test_sharded_predict(setup):
     assert np.all(np.isfinite(np.asarray(out["score"])))
 
 
+def test_spatial_sharded_train_matches_1d(setup):
+    """Training on a 2x4 (data x space) mesh — grid H sharded over
+    'space' — must match the single-device step (same global batch)."""
+    from objectdetection_3d_tpu.parallel import make_mesh_2d
+
+    model, variables, tx = setup
+    batch = to_device(tiny_batch(batch_size=2, seed=5))
+
+    def fresh_state():
+        return {"params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"])}
+
+    single = model.make_train_step(tx, donate=False)
+    s1, l1 = single(fresh_state(), batch)
+
+    mesh = make_mesh_2d(2, 4)
+    sharded = make_sharded_train_step(model, tx, mesh, space_axis="space",
+                                      donate=False)
+    s2, l2 = sharded(fresh_state(), batch)
+
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l2[k]),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s2["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_step_applies_device_augment():
+    """The sharded train step must thread device_augment rng exactly like
+    the single-chip step (regression: it used to silently drop it)."""
+    cfg = tiny_model_cfg()
+    cfg["device_augment"] = {"rotate": {"min": 0.0, "max": 6.28},
+                             "flip_x": True}
+    model = PointPillars(**cfg)
+    assert model.device_augment, "cfg should enable device augmentation"
+    variables = model.init_variables(jax.random.PRNGKey(0))
+    tx = model.get_optimizer(dict(lr=3e-3, betas=[0.95, 0.99],
+                                  weight_decay=0.01), grad_clip_value=2.0)
+    batch = to_device(tiny_batch(batch_size=8, seed=7))
+
+    def fresh_state():
+        return {"params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"]),
+                "rng": jax.random.PRNGKey(42)}
+
+    single = model.make_train_step(tx, donate=False)
+    s1, l1 = single(fresh_state(), batch)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(model, tx, mesh, donate=False)
+    s8, l8 = sharded(fresh_state(), batch)
+
+    # identical rng -> identical augmented batch -> identical losses
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l8[k]),
+                                   rtol=2e-4, atol=1e-5)
+    # the rng advanced in both
+    np.testing.assert_array_equal(np.asarray(s1["rng"]),
+                                  np.asarray(s8["rng"]))
+    assert not np.array_equal(np.asarray(s1["rng"]),
+                              np.asarray(fresh_state()["rng"]))
+
+
 def test_spatial_sharded_predict(setup):
     """2-D mesh: batch over 'data', pseudo-image H over 'space'; results
     must match the unsharded predict."""
