@@ -113,6 +113,27 @@ def main():
           f"{dt_stream * 1000:.1f} ms/cloud "
           f"({clouds_per_sec:.2f} clouds/s)", file=sys.stderr)
 
+    # --- flagship training step (BASELINE.json config #3) -------------
+    # full pipeline semantics: loss -> 1.92M-anchor assignment -> grads
+    # -> AdamW update, state donated like the real train loop
+    tx = model.get_optimizer(dict(lr=1e-4, betas=[0.95, 0.99],
+                                  weight_decay=0.01), grad_clip_value=2.0)
+    state = {"params": variables["params"],
+             "batch_stats": variables["batch_stats"],
+             "opt_state": tx.init(variables["params"])}
+    train_step = model.make_train_step(tx, donate=True)
+    state, losses = train_step(state, batch)   # compile + warm
+    sync(losses)
+    tr_times = []
+    for _ in range(5):
+        t0 = time.time()
+        state, losses = train_step(state, batch)
+        sync(losses)
+        tr_times.append(time.time() - t0)
+    dt_train = float(np.median(tr_times))
+    print(f"train step (batch 1, loss+assign+grads+AdamW): "
+          f"{dt_train:.3f} s/step", file=sys.stderr)
+
     print(json.dumps({
         "metric": "end-to-end inference point clouds/sec/chip "
                   "(100k-pt cloud, 400x400x100 grid, decode+NMS, "
@@ -121,6 +142,14 @@ def main():
         "unit": "clouds/s",
         "vs_baseline": round(
             clouds_per_sec / REFERENCE_E2E_CLOUDS_PER_SEC_EST, 3),
+        "train_step_s": round(dt_train, 3),
+        "baseline_basis": (
+            "the torch reference publishes NO numbers (BASELINE.md); "
+            "vs_baseline divides clouds/s by a documented, deliberately "
+            f"generous {REFERENCE_E2E_CLOUDS_PER_SEC_EST} clouds/s "
+            "estimate of its GPU end-to-end (host numba voxelize ~4.2ms "
+            "+ H2D + forward + Python-loop NMS with per-iteration CUDA "
+            "IoU + 1.92M-anchor regeneration; see bench.py docstring)"),
     }))
 
 

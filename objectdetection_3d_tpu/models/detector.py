@@ -162,6 +162,8 @@ class PointPillars(BaseModel):
             zfold_convs=bool(self.tpu_cfg.get("zfold_convs", False)),
             zfold_pallas=bool(self.tpu_cfg.get("zfold_pallas", False)),
             fused_stages=bool(self.tpu_cfg.get("fused_stages", False)),
+            pallas_grid_scatter=bool(
+                self.tpu_cfg.get("pallas_grid_scatter", True)),
         )
 
         self.augmentor = ObjdetAugmentation(dict(augment or {}),
