@@ -125,11 +125,19 @@ class PointPillars(BaseModel):
             self.featmap = (h // factor, w // factor)
         else:
             self.featmap = (h, w)
-        self.anchors = jnp.asarray(
-            self.anchor_generator.flat_anchors(self.featmap))
-        from objectdetection_3d_tpu.models.assign import _aabb_and_volume
+        anchors_np = self.anchor_generator.flat_anchors(self.featmap)
+        self.anchors = jnp.asarray(anchors_np)
+        from objectdetection_3d_tpu.models.assign import (
+            _aabb_and_volume,
+            make_anchor_layout,
+        )
         self.anchor_aabb = tuple(
             jnp.asarray(a) for a in _aabb_and_volume(self.anchors))
+        # (cells x combos) factorization powering the exact containment
+        # fast path of target assignment (models/assign.py tier 1)
+        self.anchor_layout = tuple(
+            jnp.asarray(a) for a in make_anchor_layout(
+                anchors_np, self.num_anchors))
         self.bbox_coder = BBoxCoder()
 
         self.net = PointPillarsNet(
@@ -284,7 +292,10 @@ class PointPillars(BaseModel):
                 prefilter=str(
                     self.tpu_cfg.get("assign_prefilter", "approx")),
                 prefilter_block=int(
-                    self.tpu_cfg.get("assign_prefilter_block", 128)))
+                    self.tpu_cfg.get("assign_prefilter_block", 128)),
+                layout=self.anchor_layout,
+                exact_anchor_tier=bool(
+                    self.tpu_cfg.get("assign_exact_anchor_tier", True)))
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
         # padded repeat items (short final batches) carry zero weight so

@@ -173,6 +173,136 @@ def test_no_valid_gt():
     assert np.all(np.asarray(out["neg_mask"]))
 
 
+@pytest.mark.parametrize("seed", [0, 5])
+def test_containment_recovers_reference_positives(seed):
+    """GT boxes that fully contain many anchors: the upper-bound top-K
+    prefilter alone cannot find those positives (flat ties), the
+    containment fast path must.  With the anchor-grid layout the output
+    matches the brute-force reference oracle; without it positives are
+    provably missing (the r2 flagship failure, tools/check_assign_exact.py
+    measured 385 of 22,346)."""
+    from objectdetection_3d_tpu.models.assign import make_anchor_layout
+
+    rng = np.random.default_rng(seed)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 16.0, 16.0, 6.0]],
+        sizes=[[1.2, 1.2, 3.0]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors_np = gen.flat_anchors((32, 32))
+    anchors = jnp.asarray(anchors_np)
+    layout = tuple(jnp.asarray(a)
+                   for a in make_anchor_layout(anchors_np, 2))
+
+    g_valid = 5
+    gt = np.zeros((6, 9), np.float32)
+    gt[:g_valid, :2] = rng.uniform(3, 13, (g_valid, 2))
+    gt[:g_valid, 2] = -0.3
+    # ~0.27 volume ratio: contained anchors are positive at thr 0.2
+    gt[:g_valid, 3:6] = [2.0, 2.0, 4.0]
+    gt[:g_valid, 6:8] = rng.uniform(-0.1, 0.1, (g_valid, 2))
+    gt[:g_valid, 8] = rng.uniform(-np.pi, np.pi, g_valid)
+    gt_mask = np.arange(6) < g_valid
+    labels = np.zeros(6, np.int32)
+    args = (anchors, jnp.asarray(gt), jnp.asarray(labels),
+            jnp.asarray(gt_mask))
+    kw = dict(pos_thr=0.2, neg_thr=0.08, candidates_per_gt=64, gt_chunk=4)
+
+    out = assign_targets(*args, **kw, layout=layout)
+    dense = np.asarray(iou3d(jnp.asarray(gt[:g_valid]), anchors,
+                             row_chunk=4))
+    pos, neg, argmax, max_overlap = oracle_assign(dense, 0.2, 0.08)
+    assert pos.sum() > 10, "scene should have many contained positives"
+
+    np.testing.assert_array_equal(np.asarray(out["pos_mask"]), pos)
+    np.testing.assert_allclose(np.asarray(out["max_overlap"])[pos],
+                               max_overlap[pos], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["best_gt"])[pos],
+                                  argmax[pos])
+    # sound negatives: never label an anchor negative that the reference
+    # does not (extra ignores are the one permitted deviation)
+    ours_neg = np.asarray(out["neg_mask"])
+    assert not np.any(ours_neg & ~neg)
+
+    # and the old failure mode really exists: without the layout a tight
+    # candidate budget misses contained positives (at flagship scale even
+    # K=512 recovers only ~2%), while the containment path is
+    # budget-independent
+    kw_tight = dict(kw, candidates_per_gt=8)
+    out_nolayout = assign_targets(*args, **kw_tight)
+    out_tight = assign_targets(*args, **kw_tight, layout=layout)
+    assert int(out_nolayout["num_pos"]) < pos.sum()
+    # contained positives are candidate-budget-independent: every anchor
+    # whose volume ratio clears the threshold while fully inside a GT is
+    # found even at K=8 (ring positives legitimately need candidates)
+    contained = max_overlap >= 0.2
+    vols = np.prod(anchors_np[:, 3:6], -1)
+    ratio_pos = np.zeros(len(anchors_np), bool)
+    for gi in range(g_valid):
+        ratio_pos |= np.isclose(dense[gi], vols / np.prod(gt[gi, 3:6]),
+                                atol=1e-5) & (dense[gi] >= 0.2)
+    tight_pos = np.asarray(out_tight["pos_mask"])
+    assert np.all(tight_pos[ratio_pos & contained])
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_exact_anchor_tier_recovers_ring_positives(seed):
+    """Partial-overlap positives beyond the per-GT candidate budget —
+    neither contained (tier 1 blind) nor inside the top-K (budget too
+    tight) — must be recovered by the exact anchor tier, which clips
+    every anchor against its top-2 key GTs (the r3 flagship gap:
+    K=2048 still missed 41% of reference positives,
+    tools/check_assign_exact.py)."""
+    from objectdetection_3d_tpu.models.assign import make_anchor_layout
+
+    rng = np.random.default_rng(seed)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 16.0, 16.0, 6.0]],
+        sizes=[[1.2, 1.2, 3.0]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors_np = gen.flat_anchors((32, 32))
+    anchors = jnp.asarray(anchors_np)
+    layout = tuple(jnp.asarray(a)
+                   for a in make_anchor_layout(anchors_np, 2))
+
+    # anchor-sized GTs: the high-IoU ring is pure partial overlap (no
+    # containment is possible between equal-volume boxes)
+    g_valid = 6
+    gt = np.zeros((8, 9), np.float32)
+    gt[:g_valid, :2] = rng.uniform(3, 13, (g_valid, 2))
+    gt[:g_valid, 2] = rng.uniform(-0.2, 0.2, g_valid)
+    gt[:g_valid, 3:6] = [1.4, 1.4, 3.2]
+    gt[:g_valid, 6:8] = rng.uniform(-0.05, 0.05, (g_valid, 2))
+    gt[:g_valid, 8] = rng.uniform(-np.pi, np.pi, g_valid)
+    gt_mask = np.arange(8) < g_valid
+    labels = np.zeros(8, np.int32)
+    args = (anchors, jnp.asarray(gt), jnp.asarray(labels),
+            jnp.asarray(gt_mask))
+    # K=2 starves the candidate path on purpose
+    kw = dict(pos_thr=0.2, neg_thr=0.08, candidates_per_gt=2, gt_chunk=4)
+
+    dense = np.asarray(iou3d(jnp.asarray(gt[:g_valid]), anchors,
+                             row_chunk=4))
+    pos, neg, argmax, max_overlap = oracle_assign(dense, 0.2, 0.08)
+    assert pos.sum() > 2 * g_valid * kw["candidates_per_gt"], \
+        "scene must have far more ring positives than the budget"
+
+    out_notier = assign_targets(*args, **kw, layout=layout,
+                                exact_anchor_tier=False)
+    out = assign_targets(*args, **kw, layout=layout)
+    assert int(out_notier["num_pos"]) < pos.sum()
+    np.testing.assert_array_equal(np.asarray(out["pos_mask"]), pos)
+    np.testing.assert_allclose(np.asarray(out["max_overlap"])[pos],
+                               max_overlap[pos], atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out["best_gt"])[pos],
+                                  argmax[pos])
+    # soundness holds with and without the tier: no anchor the reference
+    # keeps (positive or ignore) may be labeled negative
+    for o in (out, out_notier):
+        assert not np.any(np.asarray(o["neg_mask"]) & ~neg)
+
+
 def test_blockwise_prefilter_matches_full():
     """The two-level exact top-k prefilter must reproduce the plain
     lax.top_k assignment bit-for-bit (ties aside, which random floats

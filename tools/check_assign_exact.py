@@ -1,0 +1,124 @@
+"""Definitive one-off: ALL-ANCHOR exact assignment at flagship scale.
+
+The reference computes exact IoU of every GT against every anchor
+(model/PointPillars.py:886-1000).  Every prefilter variant here (approx /
+block / full) restricts exact IoU to top-K-by-upper-bound candidates — a
+heuristic.  This script computes the reference's all-anchor masks once
+(chunked exact IoU over N=1.92M x G=128, a few minutes on v5e) and
+reports each prefilter's deviation from THAT ground truth.  Results are
+recorded in ROADMAP.md ("assignment prefilter").
+
+    python tools/check_assign_exact.py
+"""
+
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    sys.path.insert(0, ".")
+    import __graft_entry__ as g
+    from objectdetection_3d_tpu.models import PointPillars
+    from objectdetection_3d_tpu.models.assign import assign_targets
+    from objectdetection_3d_tpu.ops.iou3d import intersection_volume_3d
+
+    model = PointPillars(**g._flagship_cfg())
+    anchors = model.anchors
+    n = anchors.shape[0]
+    gt_budget = model.tpu_cfg["max_gt_static"]
+    rng = np.random.default_rng(0)
+    g_boxes = np.zeros((gt_budget, 9), np.float32)
+    g_boxes[:, 0] = rng.uniform(2, 38, gt_budget)
+    g_boxes[:, 1] = rng.uniform(2, 38, gt_budget)
+    g_boxes[:, 3:6] = rng.uniform([0.5, 0.5, 8], [2.0, 2.0, 22],
+                                  (gt_budget, 3))
+    g_boxes[:, 6:8] = rng.uniform(-0.35, 0.35, (gt_budget, 2))
+    g_boxes[:, 8] = rng.uniform(-np.pi, np.pi, gt_budget)
+    labels = np.zeros((gt_budget,), np.int32)
+    mask = np.ones((gt_budget,), bool)
+    gb = jnp.asarray(g_boxes)
+
+    # ---- ground truth: exact IoU of every (gt, anchor) pair -------------
+    chunk = 8192
+    gt_vol = np.prod(g_boxes[:, 3:6], axis=-1)
+    an_vol = np.asarray(np.prod(np.asarray(anchors)[:, 3:6], axis=-1))
+
+    iou_fn = jax.jit(lambda a_chunk: intersection_volume_3d(gb, a_chunk))
+    t0 = time.time()
+    rows = []
+    for s in range(0, n, chunk):
+        inter = np.asarray(iou_fn(anchors[s:s + chunk]))  # (G, chunk)
+        union = gt_vol[:, None] + an_vol[None, s:s + chunk] - inter
+        rows.append(np.where(union > 1e-6,
+                             inter / np.maximum(union, 1e-6), 0.0))
+        if (s // chunk) % 40 == 0:
+            print(f"  exact IoU {s}/{n}  ({time.time() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+    iou = np.concatenate(rows, axis=1)  # (G, N)
+    print(f"all-anchor exact IoU done in {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
+    # ---- reference rules (model/PointPillars.py:964-978) ----------------
+    pos_thr = float(np.asarray(model._pos_thr)[0])
+    neg_thr = float(np.asarray(model._neg_thr)[0])
+    max_overlap = iou.max(axis=0)
+    best_gt = iou.argmax(axis=0)
+    pos = max_overlap >= pos_thr
+    # low-quality rescue: every anchor achieving a GT's row max when that
+    # max >= neg_thr
+    row_max = iou.max(axis=1)
+    rescue = ((iou == row_max[:, None]) & (row_max[:, None] >= neg_thr)
+              ).any(axis=0)
+    pos_ref = pos | rescue
+    neg_ref = ~pos_ref & (max_overlap < neg_thr)
+    print(f"REFERENCE ground truth: num_pos={int(pos_ref.sum())} "
+          f"num_neg={int(neg_ref.sum())}")
+
+    # per-GT mass diagnostics: how large must the candidate budget be?
+    above = (iou >= 0.2).sum(axis=1)
+    print(f"per-GT anchors with IoU>=0.2: mean={above.mean():.0f} "
+          f"max={int(above.max())} p90={int(np.percentile(above, 90))}",
+          file=sys.stderr)
+
+    # ---- each variant vs ground truth -----------------------------------
+    for prefilter, block, use_layout, kk in (
+            ("approx", 128, False, 512),
+            ("approx", 128, True, 512), ("approx", 128, True, 1024),
+            ("approx", 128, True, 2048), ("block", 128, True, 2048)):
+        layout = model.anchor_layout if use_layout else None
+        fn = jax.jit(lambda gbx, lb, mk, pf=prefilter, bl=block, ly=layout,
+                     kx=kk:
+                     assign_targets(
+                         anchors, gbx, lb, mk,
+                         pos_thr=model._pos_thr, neg_thr=model._neg_thr,
+                         candidates_per_gt=kx, num_classes=1,
+                         anchor_aabb=model.anchor_aabb,
+                         prefilter=pf, prefilter_block=bl, layout=ly))
+        out = fn(gb, jnp.asarray(labels), jnp.asarray(mask))
+        float(np.asarray(out["num_pos"]))
+        t0 = time.time()
+        for _ in range(3):
+            out = fn(gb, jnp.asarray(labels), jnp.asarray(mask))
+            float(np.asarray(out["num_pos"]))
+        dt = (time.time() - t0) / 3 * 1000
+        p = np.asarray(out["pos_mask"])
+        ng = np.asarray(out["neg_mask"])
+        bgt = np.asarray(out["best_gt"])
+        pos_missing = int((pos_ref & ~p).sum())
+        pos_extra = int((p & ~pos_ref).sum())
+        wrong_neg = int((ng & ~neg_ref).sum())   # mislabeled background
+        extra_ignore = int((neg_ref & ~ng & ~p).sum())
+        bg_diff = int(((bgt != best_gt) & pos_ref & p).sum())
+        tag = f"{prefilter}{'+layout' if use_layout else ''} K={kk}"
+        print(f"{tag:22s}: {dt:6.1f} ms num_pos={int(p.sum())} "
+              f"missing_pos={pos_missing} extra_pos={pos_extra} "
+              f"WRONG_neg={wrong_neg} extra_ignore={extra_ignore} "
+              f"best_gt_diff_at_pos={bg_diff}")
+
+
+if __name__ == "__main__":
+    main()
