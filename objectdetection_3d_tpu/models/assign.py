@@ -29,9 +29,10 @@ static-shape computation:
    ranks first or second in its own key column.
 5. **Sound negatives** — an anchor is negative only when its *evaluated*
    max is below threshold AND a bound proves every unevaluated pair is
-   too: a non-candidate pair's key never exceeds its GT's k-th key, so
-   ``min(ub(g,n), kth(g))`` bounds it; per anchor we keep the top-3 such
-   capped bounds with their GT ids and exclude the tier-evaluated GTs.
+   too: every GT outside the anchor's tier-evaluated top-2 (by key) has
+   key <= the anchor's 3rd-best key, and a pair's true IoU <= its slab
+   upper bound <= key + the tiebreak slack, so ``v3 + SLACK`` bounds all
+   of them (SAT-disjoint pairs are separately certified IoU 0).
    Anchors the bound cannot clear become "ignore" (neither positive nor
    negative) instead of silently mislabeled background — the deviation
    from the reference is only ever extra ignores, never a wrong label.
@@ -50,9 +51,7 @@ from objectdetection_3d_tpu.ops.boxes import (
     rotation_matrices,
 )
 from objectdetection_3d_tpu.ops.iou3d import intersection_volume_3d
-from objectdetection_3d_tpu.ops.pallas_iou3d import (
-    intersection_volume_aligned,
-)
+from objectdetection_3d_tpu.ops.pallas_iou3d import iou_gathered
 
 
 def _aabb_and_volume(boxes):
@@ -194,19 +193,6 @@ def _chunk_geometry(gt_boxes, gt_mask, layout, cell_on_v):
     }
 
 
-def _top2_merge(v1, a1, v2, a2, w, g_of_w):
-    """Fold candidate (w, g_of_w) into a running per-anchor top-2."""
-    better1 = w > v1
-    nv1 = jnp.where(better1, w, v1)
-    na1 = jnp.where(better1, g_of_w, a1)
-    w2 = jnp.where(better1, v1, w)
-    g2 = jnp.where(better1, a1, g_of_w)
-    better2 = w2 > v2
-    nv2 = jnp.where(better2, w2, v2)
-    na2 = jnp.where(better2, g2, a2)
-    return nv1, na1, nv2, na2
-
-
 def _top3_merge(c1, g1, c2, g2, c3, g3, w, gw):
     """Fold candidate (w, gw) into a running per-anchor top-3."""
     b1 = w > c1
@@ -225,6 +211,31 @@ def _top3_merge(c1, g1, c2, g2, c3, g3, w, gw):
     return n1, m1, n2, m2, n3, m3
 
 
+def _segment_max_small(vals, ids, g):
+    """Per-id max of ``vals`` (>= 0) for a SMALL id space, scatter-free.
+
+    ``zeros(g).at[ids].max(vals)`` serializes on TPU (measured ~25 ms per
+    scatter-max at N=1.92M); a blocked compare-and-reduce reads the value
+    stream once per 8-id block instead (~16 passes x 15 MB at flagship
+    scale, ~5 ms total).
+
+    Args:
+        vals: (N,) float32, non-negative (0 = no contribution).
+        ids: (N,) int32 in [0, g).
+    Returns:
+        (g,) float32 per-id maxima (0 where an id never appears).
+    """
+    blk = 8
+    gpad = -(-g // blk) * blk
+    gids = jnp.arange(gpad, dtype=ids.dtype)
+
+    def chunk_fn(gc):  # (blk,) ids -> (blk,) maxima
+        eq = ids[None, :] == gc[:, None]
+        return jnp.max(jnp.where(eq, vals[None, :], 0.0), axis=1)
+
+    return jax.lax.map(chunk_fn, gids.reshape(-1, blk)).reshape(-1)[:g]
+
+
 def _merge_best(m1, b1, m2, b2):
     """Merge two (max, best-gt) pairs; ties prefer the LOWER gt index.
 
@@ -235,20 +246,17 @@ def _merge_best(m1, b1, m2, b2):
     return jnp.maximum(m1, m2), jnp.where(better2, b2, b1)
 
 
-def _tier_exact(gt_boxes, gt_mask, gt_vol, an_vol, anchors, gt_ids, keys,
-                g):
+def _tier_exact(gt_boxes, gt_mask, anchors, gt_ids, keys, g):
     """Exact IoU of every anchor against one selected GT (tier 4).
 
-    One aligned (N,) clipper pass — Pallas on TPU — for a column of
-    (anchor, its chosen GT) pairs.  Invalid selections (sentinel id,
-    masked GT, all-masked key) return 0.
+    One aligned (N,) clipper pass — Pallas on TPU, with the GT side
+    gathered IN-KERNEL from the (G, 9) table (an XLA ``gt_boxes[ids]``
+    row gather costs ~67 ms at N=1.92M on this chip).  Invalid
+    selections (sentinel id, masked GT, all-masked key) return 0.
     """
     safe = jnp.clip(gt_ids, 0, max(g - 1, 0))
-    valid = (gt_ids < g) & gt_mask[safe] & (keys > -1e9)
-    inter = jnp.clip(
-        intersection_volume_aligned(gt_boxes[safe], anchors), 0.0)
-    union = gt_vol[safe] + an_vol - inter
-    iou = jnp.where(union > 1e-6, inter / jnp.maximum(union, 1e-6), 0.0)
+    valid = (gt_ids < g) & (keys > -1e9)
+    iou = iou_gathered(gt_boxes, gt_mask, safe, anchors)
     return jnp.where(valid, iou, 0.0)
 
 
@@ -298,12 +306,12 @@ def _blockwise_topk(ub, k, block):
 @partial(jax.jit,
          static_argnames=("candidates_per_gt", "gt_chunk", "num_classes",
                           "prefilter", "prefilter_block",
-                          "exact_anchor_tier"))
+                          "exact_anchor_tier", "geometry"))
 def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
                    candidates_per_gt=512, gt_chunk=16, num_classes=1,
                    anchor_aabb=None, prefilter="approx",
                    prefilter_block=128, layout=None,
-                   exact_anchor_tier=True):
+                   exact_anchor_tier=True, geometry="auto"):
     """Assign GT boxes to anchors for one point cloud.
 
     Matching rules follow reference model/PointPillars.py:964-978:
@@ -347,6 +355,13 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             through the Pallas clipper (ops/pallas_iou3d.py).  Closes
             the partial-overlap positives the per-GT candidate budget
             cannot reach (module docstring, tier 4).
+        geometry: chunk-geometry implementation for the layout path.
+            "auto" (default) = the fused Pallas kernel
+            (ops/assign_geometry.py) on TPU, the XLA formulation
+            elsewhere; "xla" / "pallas" force one; "pallas_interpret"
+            runs the kernel in interpreter mode (CPU parity tests).
+            Both produce identical assignments (tested in
+            tests/test_assign_geometry.py / test_assign.py).
     Returns:
         dict with per-anchor arrays:
             pos_mask, neg_mask: (N,) bool
@@ -391,7 +406,85 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             return jnp.take_along_axis(key, idx, axis=1), idx
         return jax.lax.top_k(key, k)
 
-    if layout is not None:
+    use_pallas = (geometry in ("pallas", "pallas_interpret")
+                  or (geometry == "auto"
+                      and jax.default_backend() == "tpu"))
+    if layout is not None and use_pallas:
+        from objectdetection_3d_tpu.ops.assign_geometry import (
+            chunk_geometry,
+            combo_table_jnp,
+            containment_rescue,
+            pad_cells_jnp,
+        )
+
+        interp = geometry == "pallas_interpret"
+        nc_cells = layout[0].shape[0]
+        mcombo = layout[1].shape[0]
+        assert n == nc_cells * mcombo, \
+            "layout does not match the anchor count"
+        cellc_pad = pad_cells_jnp(layout[0])
+        combo_tab = combo_table_jnp(layout)
+        ncp = cellc_pad.shape[1]
+        npm = mcombo * ncp  # padded m-major anchor count
+
+        def mm_to_flat(x):
+            """(M, Ncp) m-major kernel layout -> (N,) flat cell-major."""
+            return x[:, :nc_cells].T.reshape(-1)
+
+        def scan_body(carry, idx_chunk):
+            (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3) = carry
+            out = chunk_geometry(
+                gt_boxes[idx_chunk], gt_mask[idx_chunk],
+                idx_chunk.astype(jnp.int32), layout, cellc_pad,
+                combo_tab, g, interpret=interp)
+            gch = idx_chunk.shape[0]
+            key2d = out["key"].reshape(gch, npm)
+            _, idxp = select_topk(key2d)
+            # m-major padded ids -> flat cell-major anchor ids; padding
+            # cells only ever rank for fully-masked GT rows (their exact
+            # IoU is forced to -1 downstream, so id 0 is a safe stand-in)
+            cellid = idxp % ncp
+            idx = jnp.where(cellid < nc_cells,
+                            cellid * mcombo + idxp // ncp, 0)
+            cmax, cbest = _merge_best(cmax, cbest, out["cm"], out["cb"])
+            anymb = anymb | (out["mb"] > 0)
+            for w, gw in ((out["v1"], out["a1"]), (out["v2"], out["a2"]),
+                          (out["v3"], out["a3"])):
+                v1, a1, v2, a2, v3, a3 = _top3_merge(
+                    v1, a1, v2, a2, v3, a3, w, gw)
+            r_max = jnp.max(out["rmax"], axis=1)
+            new_carry = (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3)
+            return new_carry, (idx, r_max)
+
+        shp = (mcombo, ncp)
+        neg_inf = jnp.full(shp, -jnp.inf)
+        gsent2 = jnp.full(shp, g, jnp.int32)
+        carry0 = (jnp.zeros(shp, jnp.float32), gsent2,
+                  jnp.zeros(shp, bool),
+                  neg_inf, gsent2, neg_inf, gsent2, neg_inf, gsent2)
+        carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0, chunks)
+        (cont_max, cont_best, overlap_possible,
+         v1, a1, v2, a2, v3, a3) = (mm_to_flat(c) for c in carry)
+        cont_row_max = jnp.zeros((g,), jnp.float32).at[
+            chunks.reshape(-1)].max(rm.reshape(-1))
+
+        if exact_anchor_tier:
+            # tier 4: clip every anchor exactly against its top-2 gts
+            t1 = _tier_exact(gt_boxes, gt_mask, anchors, a1, v1, g)
+            t2 = _tier_exact(gt_boxes, gt_mask, anchors, a2, v2, g)
+            t2 = jnp.where(a2 == a1, 0.0, t2)  # duplicate slot
+            tier_max = jnp.maximum(t1, t2)
+            tier_best = jnp.where(
+                (t1 > t2) | ((t1 == t2) & (a1 <= a2)), a1, a2)
+            tier_best = jnp.where(tier_max > 0, tier_best, g)
+            unev_bound = v3 + _TIEBREAK_SLACK
+        else:
+            t1 = t2 = jnp.zeros((n,), jnp.float32)
+            tier_max = jnp.zeros((n,), jnp.float32)
+            tier_best = jnp.full((n,), g, jnp.int32)
+            unev_bound = v1 + _TIEBREAK_SLACK
+        unev_bound = jnp.maximum(unev_bound, 0.0)
+    elif layout is not None:
         cellc, crot = layout[0], layout[1]
         assert n == cellc.shape[0] * crot.shape[0], \
             "layout does not match the anchor count"
@@ -410,18 +503,12 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             return out
 
         def scan_body(carry, idx_chunk):
-            (cmax, cbest, anymb,
-             v1, a1, v2, a2, c1, g1c, c2, g2c, c3, g3c) = carry
+            (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3) = carry
             geo = _chunk_geometry(gt_boxes[idx_chunk], gt_mask[idx_chunk],
                                   layout, cell_on_v)
             gch = idx_chunk.shape[0]
             key2d = geo["key"].reshape(gch, n)
-            vals, idx = select_topk(key2d)
-            kth = vals[:, -1]
-            # capped bound on NON-candidate pairs (tier-5 soundness):
-            # a non-candidate's key <= its GT's k-th key
-            capped = jnp.minimum(geo["ub"].reshape(gch, n),
-                                 kth[:, None] + _TIEBREAK_SLACK)
+            _, idx = select_topk(key2d)
             iou2d = geo["iou"].reshape(gch, n)
             # containment: per-anchor max + first-on-ties best gt
             cm_c = jnp.max(iou2d, axis=0)
@@ -431,55 +518,46 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             cb_c = jnp.where(cm_c > 0, cb_c, g)
             cmax, cbest = _merge_best(cmax, cbest, cm_c, cb_c)
             anymb = anymb | jnp.any(geo["maybe"], axis=0).reshape(n)
-            # running per-anchor top-2 keys (the exact anchor tier's
-            # evaluation set) and top-3 capped bounds (so the sound
-            # negative bound can EXCLUDE the tier-evaluated gts)
-            for w, gw in chunk_top(key2d, idx_chunk, 2):
-                v1, a1, v2, a2 = _top2_merge(v1, a1, v2, a2, w, gw)
-            for w, gw in chunk_top(capped, idx_chunk, 3):
-                c1, g1c, c2, g2c, c3, g3c = _top3_merge(
-                    c1, g1c, c2, g2c, c3, g3c, w, gw)
+            # running per-anchor top-3 keys: slots 1-2 are the exact
+            # anchor tier's evaluation set, slot 3 bounds every pair
+            # evaluated nowhere (ub <= key + SLACK <= v3 + SLACK for all
+            # gts outside the top-2)
+            for w, gw in chunk_top(key2d, idx_chunk, 3):
+                v1, a1, v2, a2, v3, a3 = _top3_merge(
+                    v1, a1, v2, a2, v3, a3, w, gw)
             r_max = jnp.max(iou2d, axis=1)  # (gch,) containment row max
-            new_carry = (cmax, cbest, anymb, v1, a1, v2, a2,
-                         c1, g1c, c2, g2c, c3, g3c)
+            new_carry = (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3)
             return new_carry, (idx, r_max)
 
         neg_inf = jnp.full((n,), -jnp.inf)
         gsent = jnp.full((n,), g, jnp.int32)
         carry0 = (jnp.zeros((n,), jnp.float32), gsent,
                   jnp.zeros((n,), bool),
-                  neg_inf, gsent, neg_inf, gsent,
                   neg_inf, gsent, neg_inf, gsent, neg_inf, gsent)
         carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0, chunks)
         (cont_max, cont_best, overlap_possible,
-         v1, a1, v2, a2, c1, g1c, c2, g2c, c3, g3c) = carry
+         v1, a1, v2, a2, v3, a3) = carry
         cont_row_max = jnp.zeros((g,), jnp.float32).at[
             chunks.reshape(-1)].max(rm.reshape(-1))
 
         if exact_anchor_tier:
             # tier 4: clip every anchor exactly against its top-2 gts
-            t1 = _tier_exact(gt_boxes, gt_mask, gt_vol, an_vol, anchors,
-                             a1, v1, g)
-            t2 = _tier_exact(gt_boxes, gt_mask, gt_vol, an_vol, anchors,
-                             a2, v2, g)
+            t1 = _tier_exact(gt_boxes, gt_mask, anchors, a1, v1, g)
+            t2 = _tier_exact(gt_boxes, gt_mask, anchors, a2, v2, g)
             t2 = jnp.where(a2 == a1, 0.0, t2)  # duplicate slot
             tier_max = jnp.maximum(t1, t2)
             tier_best = jnp.where(
                 (t1 > t2) | ((t1 == t2) & (a1 <= a2)), a1, a2)
             tier_best = jnp.where(tier_max > 0, tier_best, g)
-            # sound bound on pairs evaluated NOWHERE: the largest top-3
-            # capped bound whose gt is not tier-evaluated; if a slot's gt
-            # IS evaluated, fall back to c3 (>= every bound below top-3)
-            excl1 = (g1c != a1) & (g1c != a2)
-            excl2 = (g2c != a1) & (g2c != a2)
-            unev_bound = jnp.maximum(
-                jnp.where(excl1, c1, c3),
-                jnp.maximum(jnp.where(excl2, c2, c3), c3))
+            # sound bound on pairs evaluated NOWHERE: every gt outside
+            # the tier-evaluated top-2 has key <= v3, and a pair's true
+            # IoU <= its ub <= key + SLACK
+            unev_bound = v3 + _TIEBREAK_SLACK
         else:
             t1 = t2 = jnp.zeros((n,), jnp.float32)
-            a1 = a2 = gsent
-            tier_max, tier_best = t1, a1
-            unev_bound = c1
+            tier_max = jnp.zeros((n,), jnp.float32)
+            tier_best = gsent
+            unev_bound = v1 + _TIEBREAK_SLACK
         # exact IoUs are >= 0, so the bound never needs to go below 0
         # (it is -inf when no valid GT exists)
         unev_bound = jnp.maximum(unev_bound, 0.0)
@@ -504,23 +582,34 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     cand_idx = cand_idx.reshape(-1, k)[:g]  # (G, K)
 
     # --- stage 2: exact IoU on candidates --------------------------------
-    def exact_chunk(args):
-        gti, ci = args  # (chunk,), (chunk, K)
-        def one(gt_i, cands):
-            inter = intersection_volume_3d(
-                gt_boxes[gt_i][None], anchors[cands])[0]
-            return jnp.clip(inter, 0.0)
-        return jax.vmap(one)(gti, ci)
+    if jax.default_backend() == "tpu":
+        # one aligned pass through the Pallas clipper with the GT side
+        # gathered in-kernel (G*K pairs; the chunked XLA clipper below
+        # measures ~1.2 M pairs/s — ~55 ms at G=128, K=512)
+        rows = jnp.broadcast_to(
+            jnp.arange(g, dtype=jnp.int32)[:, None], (g, k)).reshape(-1)
+        exact = iou_gathered(
+            gt_boxes, gt_mask, rows,
+            anchors[cand_idx.reshape(-1)]).reshape(g, k)
+    else:
+        def exact_chunk(args):
+            gti, ci = args  # (chunk,), (chunk, K)
+            def one(gt_i, cands):
+                inter = intersection_volume_3d(
+                    gt_boxes[gt_i][None], anchors[cands])[0]
+                return jnp.clip(inter, 0.0)
+            return jax.vmap(one)(gti, ci)
 
-    ci_pad = jnp.concatenate(
-        [cand_idx, jnp.zeros((pad_g, k), cand_idx.dtype)], 0)
-    inter_gk = jax.lax.map(
-        exact_chunk,
-        (gt_idx.reshape(-1, chunk), ci_pad.reshape(-1, chunk, k)))
-    inter_gk = inter_gk.reshape(-1, k)[:g]
+        ci_pad = jnp.concatenate(
+            [cand_idx, jnp.zeros((pad_g, k), cand_idx.dtype)], 0)
+        inter_gk = jax.lax.map(
+            exact_chunk,
+            (gt_idx.reshape(-1, chunk), ci_pad.reshape(-1, chunk, k)))
+        inter_gk = inter_gk.reshape(-1, k)[:g]
 
-    union = (gt_vol[:, None] + an_vol[cand_idx] - inter_gk)
-    exact = jnp.where(union > 1e-6, inter_gk / jnp.maximum(union, 1e-6), 0.0)
+        union = (gt_vol[:, None] + an_vol[cand_idx] - inter_gk)
+        exact = jnp.where(
+            union > 1e-6, inter_gk / jnp.maximum(union, 1e-6), 0.0)
     exact = jnp.where(gt_mask[:, None], exact, -1.0)  # padded GT never wins
 
     # --- scatter back to full anchor space -------------------------------
@@ -546,8 +635,11 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     safe2 = jnp.clip(a2, 0, max(g - 1, 0))
     row_max = jnp.maximum(cand_row_max, cont_row_max)  # (G,)
     # tier values contribute to per-GT row maxima too (t1/t2 are 0 for
-    # invalid selections, and scatter-max of 0 is a no-op)
-    row_max = row_max.at[safe1].max(t1).at[safe2].max(t2)
+    # invalid selections, and a max with 0 is a no-op)
+    if exact_anchor_tier and layout is not None:
+        row_max = jnp.maximum(
+            row_max, jnp.maximum(_segment_max_small(t1, safe1, g),
+                                 _segment_max_small(t2, safe2, g)))
 
     # per-class thresholds, indexed by the matched GT's class
     c = max(num_classes, 1)
@@ -574,7 +666,16 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     # tier achievers of their GT's row max
     pos_extra |= (t1 >= row_max[safe1]) & rescue_ok[safe1] & (t1 > 0)
     pos_extra |= (t2 >= row_max[safe2]) & rescue_ok[safe2] & (t2 > 0)
-    if layout is not None:
+    if layout is not None and use_pallas:
+        def cont_rescue_chunk(idx_chunk):
+            return containment_rescue(
+                gt_boxes[idx_chunk], gt_mask[idx_chunk],
+                row_max[idx_chunk], rescue_ok[idx_chunk], layout,
+                cellc_pad, combo_tab, interpret=interp)
+
+        cr = jax.lax.map(cont_rescue_chunk, chunks)  # (chunks, M, Ncp)
+        pos_extra |= mm_to_flat(jnp.any(cr > 0, axis=0))
+    elif layout is not None:
         def cont_rescue_chunk(idx_chunk):
             iou = _chunk_geometry(gt_boxes[idx_chunk], gt_mask[idx_chunk],
                                   layout, cell_on_v)["iou"]

@@ -33,6 +33,8 @@ from objectdetection_3d_tpu.ops.boxes import _CORNER_SIGNS, FACES_OUTWARD
 _MAX_VERTS = 12
 _EPS = 1e-6
 _SHRINK = 1e-5
+#: union guard of the IoU ratio (matches models/assign.py)
+_UNION_EPS = 1e-6
 #: pairs per kernel program (lane-dim width of every ring buffer)
 _TILE = 512
 
@@ -81,100 +83,178 @@ def _planes(fields):
     return out
 
 
-def _kernel(b1_ref, b2_ref, out_ref):
-    """One tile: T pairs -> T intersection volumes.
+#: allocated ring slots entering clip plane p (geometric max is 4+p; two
+#: slack slots absorb numerically degenerate rings, matching the original
+#: fixed-12 layout's slack over its theoretical max of 10)
+_RING_SLOTS = (4, 7, 8, 9, 10, 11)
+#: slots allocated for the ring EMITTED by plane p (= next plane's input)
+_RING_CAPS = (7, 8, 9, 10, 11, 12)
 
-    b1_ref/b2_ref: (9, T) SoA box fields in VMEM.
-    out_ref: (1, T) volumes.
+
+def _clip_volumes(f1, f2):
+    """Intersection volumes of aligned box pairs: 9+9 (T,) fields -> (T,).
+
+    All 12 face-polygons of a pair (6 faces of box A clipped by B's
+    planes, 6 of B clipped by A's) ride the SUBLANE axis as one (12, T)
+    ring — one wide VPU op where the per-polygon formulation issued 12
+    narrow (T,) ops — and the ring storage grows per plane (a convex
+    n-gon clipped by a half-space has at most n+1 vertices), shrinking
+    the O(candidates x slots) compaction from 24x12 to the progressive
+    schedule above.  Algorithm and epsilons are identical to
+    ops/iou3d.py (reference being replaced: pytorch3d ``_C.iou_box3d``,
+    ops/ops_torch.py:692-755).
     """
-    t = b1_ref.shape[1]
-    f1 = [b1_ref[i, :] for i in range(9)]
-    f2 = [b2_ref[i, :] for i in range(9)]
+    t = f1[0].shape[0]
 
     corners1 = _corners(f1)
     corners2 = _corners(f2)
     planes1 = _planes(f1)
     planes2 = _planes(f2)
 
-    total = jnp.zeros((t,), jnp.float32)
+    faces = np.asarray(FACES_OUTWARD)
 
-    # direction 0: faces of box1 clipped into box2 (offsets - SHRINK);
-    # direction 1: faces of box2 clipped into box1 (offsets + SHRINK)
-    for corners, planes, shrink in ((corners1, planes2, -_SHRINK),
-                                    (corners2, planes1, _SHRINK)):
-        for quad in np.asarray(FACES_OUTWARD):
-            # ring state: python lists of (T,) values + (T,) count
-            vx = [corners[q][0] for q in quad]
-            vy = [corners[q][1] for q in quad]
-            vz = [corners[q][2] for q in quad]
-            zero = jnp.zeros((t,), jnp.float32)
-            vx += [zero] * (_MAX_VERTS - 4)
-            vy += [zero] * (_MAX_VERTS - 4)
-            vz += [zero] * (_MAX_VERTS - 4)
-            cnt = jnp.full((t,), 4, jnp.int32)
+    # rows 0-5: faces of box1 clipped into box2 (offsets - SHRINK);
+    # rows 6-11: faces of box2 clipped into box1 (offsets + SHRINK)
+    vx, vy, vz = [], [], []
+    for i in range(4):
+        rows = ([corners1[faces[f][i]] for f in range(6)]
+                + [corners2[faces[f][i]] for f in range(6)])
+        vx.append(jnp.stack([r[0] for r in rows]))
+        vy.append(jnp.stack([r[1] for r in rows]))
+        vz.append(jnp.stack([r[2] for r in rows]))
+    cnt = jnp.full((12, t), 4, jnp.int32)
 
-            for nx, ny, nz, off in planes:
-                off = off + shrink
-                s = [nx * vx[i] + ny * vy[i] + nz * vz[i] - off
-                     for i in range(_MAX_VERTS)]
-                inside = [si <= _EPS for si in s]
+    plane_rows = []
+    for k in range(6):
+        n1, n2 = planes1[k], planes2[k]
+        plane_rows.append((
+            jnp.stack([n2[0]] * 6 + [n1[0]] * 6),
+            jnp.stack([n2[1]] * 6 + [n1[1]] * 6),
+            jnp.stack([n2[2]] * 6 + [n1[2]] * 6),
+            jnp.stack([n2[3] - _SHRINK] * 6 + [n1[3] + _SHRINK] * 6),
+        ))
 
-                # ring-next with dynamic count
-                def nxt(arr, i):
-                    nxt_i = arr[(i + 1) % _MAX_VERTS]
-                    return jnp.where(cnt == i + 1, arr[0], nxt_i)
+    for p, (nx, ny, nz, off) in enumerate(plane_rows):
+        slots, cap = _RING_SLOTS[p], _RING_CAPS[p]
+        s = [nx * vx[i] + ny * vy[i] + nz * vz[i] - off
+             for i in range(slots)]
+        inside = [si <= _EPS for si in s]
 
-                cand_x, cand_y, cand_z, cand_ok = [], [], [], []
-                for i in range(_MAX_VERTS):
-                    sn = nxt(s, i)
-                    vxn, vyn, vzn = nxt(vx, i), nxt(vy, i), nxt(vz, i)
-                    denom = s[i] - sn
-                    denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
-                    tt = jnp.clip(s[i] / denom, 0.0, 1.0)
-                    edge_valid = i < cnt
-                    # kept vertex then possible intersection point
-                    cand_x.append(vx[i])
-                    cand_y.append(vy[i])
-                    cand_z.append(vz[i])
-                    cand_ok.append(edge_valid & inside[i])
-                    cand_x.append(vx[i] + tt * (vxn - vx[i]))
-                    cand_y.append(vy[i] + tt * (vyn - vy[i]))
-                    cand_z.append(vz[i] + tt * (vzn - vz[i]))
-                    cand_ok.append(edge_valid & (inside[i] != (sn <= _EPS)))
+        # ring-next with dynamic count
+        def nxt(arr, i):
+            nxt_i = arr[(i + 1) % slots]
+            return jnp.where(cnt == i + 1, arr[0], nxt_i)
 
-                # compact: position of each emitted candidate
-                pos = []
-                run = jnp.zeros((t,), jnp.int32)
-                for e in range(2 * _MAX_VERTS):
-                    pos.append(run)  # position BEFORE counting e
-                    run = run + cand_ok[e].astype(jnp.int32)
-                new_vx = [jnp.zeros((t,), jnp.float32)
-                          for _ in range(_MAX_VERTS)]
-                new_vy = [jnp.zeros((t,), jnp.float32)
-                          for _ in range(_MAX_VERTS)]
-                new_vz = [jnp.zeros((t,), jnp.float32)
-                          for _ in range(_MAX_VERTS)]
-                for e in range(2 * _MAX_VERTS):
-                    take = cand_ok[e]
-                    pe = pos[e]
-                    # an emitted candidate at position j: j < min(e+1, 12)
-                    for j in range(min(e + 1, _MAX_VERTS)):
-                        m = take & (pe == j)
-                        new_vx[j] = jnp.where(m, cand_x[e], new_vx[j])
-                        new_vy[j] = jnp.where(m, cand_y[e], new_vy[j])
-                        new_vz[j] = jnp.where(m, cand_z[e], new_vz[j])
-                vx, vy, vz = new_vx, new_vy, new_vz
-                cnt = run
+        cand_x, cand_y, cand_z, cand_ok = [], [], [], []
+        for i in range(slots):
+            sn = nxt(s, i)
+            vxn, vyn, vzn = nxt(vx, i), nxt(vy, i), nxt(vz, i)
+            denom = s[i] - sn
+            denom = jnp.where(jnp.abs(denom) > _EPS, denom, _EPS)
+            tt = jnp.clip(s[i] / denom, 0.0, 1.0)
+            edge_valid = i < cnt
+            # kept vertex then possible intersection point
+            cand_x.append(vx[i])
+            cand_y.append(vy[i])
+            cand_z.append(vz[i])
+            cand_ok.append(edge_valid & inside[i])
+            cand_x.append(vx[i] + tt * (vxn - vx[i]))
+            cand_y.append(vy[i] + tt * (vyn - vy[i]))
+            cand_z.append(vz[i] + tt * (vzn - vz[i]))
+            cand_ok.append(edge_valid & (inside[i] != (sn <= _EPS)))
 
-            # divergence-theorem fan over the clipped polygon
-            for i in range(1, _MAX_VERTS - 1):
-                crx = vy[i] * vz[i + 1] - vz[i] * vy[i + 1]
-                cry = vz[i] * vx[i + 1] - vx[i] * vz[i + 1]
-                crz = vx[i] * vy[i + 1] - vy[i] * vx[i + 1]
-                contrib = vx[0] * crx + vy[0] * cry + vz[0] * crz
-                total = total + jnp.where(i + 1 < cnt, contrib, 0.0) / 6.0
+        # compact: position of each emitted candidate
+        pos = []
+        run = jnp.zeros((12, t), jnp.int32)
+        for e in range(2 * slots):
+            pos.append(run)  # position BEFORE counting e
+            run = run + cand_ok[e].astype(jnp.int32)
+        new_vx = [jnp.zeros((12, t), jnp.float32) for _ in range(cap)]
+        new_vy = [jnp.zeros((12, t), jnp.float32) for _ in range(cap)]
+        new_vz = [jnp.zeros((12, t), jnp.float32) for _ in range(cap)]
+        for e in range(2 * slots):
+            take = cand_ok[e]
+            pe = pos[e]
+            # an emitted candidate at position j: j < min(e+1, cap)
+            for j in range(min(e + 1, cap)):
+                m = take & (pe == j)
+                new_vx[j] = jnp.where(m, cand_x[e], new_vx[j])
+                new_vy[j] = jnp.where(m, cand_y[e], new_vy[j])
+                new_vz[j] = jnp.where(m, cand_z[e], new_vz[j])
+        vx, vy, vz = new_vx, new_vy, new_vz
+        cnt = jnp.minimum(run, cap)
 
-    out_ref[0, :] = total
+    # divergence-theorem fan over each clipped polygon, summed over the
+    # 12 polygon rows
+    final = _RING_CAPS[-1]
+    total = jnp.zeros((12, t), jnp.float32)
+    for i in range(1, final - 1):
+        crx = vy[i] * vz[i + 1] - vz[i] * vy[i + 1]
+        cry = vz[i] * vx[i + 1] - vx[i] * vz[i + 1]
+        crz = vx[i] * vy[i + 1] - vy[i] * vx[i + 1]
+        contrib = vx[0] * crx + vy[0] * cry + vz[0] * crz
+        total = total + jnp.where(i + 1 < cnt, contrib, 0.0) / 6.0
+
+    return jnp.sum(total, axis=0)
+
+
+def _kernel(b1_ref, b2_ref, out_ref):
+    """One tile: T pairs -> T intersection volumes.
+
+    b1_ref/b2_ref: (9, T) SoA box fields in VMEM; out_ref: (1, T).
+    """
+    f1 = [b1_ref[i, :] for i in range(9)]
+    f2 = [b2_ref[i, :] for i in range(9)]
+    out_ref[0, :] = _clip_volumes(f1, f2)
+
+
+def _gathered_iou(table, ids, f2):
+    """T masked IoUs of (table row, box) pairs: the gathered-kernel body.
+
+    The GT side is gathered IN-KERNEL from a small table via a one-hot
+    MXU matmul — a (N,)-row XLA gather from the (G, 9) GT table costs
+    ~35 ns/row on this chip (~67 ms at N=1.92M, CLAUDE.md), while the
+    (10, G) @ (G, T) one-hot contraction is MXU noise.  The one-hot
+    product is exact in HIGHEST precision (bf16x3 decomposition is exact
+    for f32, and each output column selects exactly one table column).
+
+    Pure function of arrays so CPU parity tests can evaluate it eagerly
+    (pallas interpret mode's internal jit of the ~8k-op clipper graph
+    compiles for tens of minutes under the 8-virtual-device suite).
+
+    Args:
+        table: (10, G) — 9 SoA box fields + validity row.
+        ids: (T,) int32 per-pair table column.
+        f2: 9 (T,) SoA box fields.
+    Returns:
+        (T,) IoU, 0 where the table validity row is 0.
+    """
+    gp = table.shape[1]
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (gp, ids.shape[0]), 0)
+              == ids[None, :]).astype(jnp.float32)
+    gathered = jax.lax.dot_general(
+        table, onehot, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    f1 = [gathered[i, :] for i in range(9)]
+    valid = gathered[9, :]
+    inter = jnp.maximum(_clip_volumes(f1, f2), 0.0)
+    vol1 = f1[3] * f1[4] * f1[5]
+    vol2 = f2[3] * f2[4] * f2[5]
+    union = vol1 + vol2 - inter
+    iou = jnp.where(union > _UNION_EPS,
+                    inter / jnp.maximum(union, _UNION_EPS), 0.0)
+    return iou * valid
+
+
+def _gathered_kernel(table_ref, ids_ref, b2_ref, out_ref):
+    """One tile: T (gt_id, box) pairs -> T masked IoUs.
+
+    table_ref: (10, G) VMEM; ids_ref: (1, T) int32; b2_ref: (9, T) SoA
+    box fields; out_ref: (1, T).  See `_gathered_iou`.
+    """
+    f2 = [b2_ref[i, :] for i in range(9)]
+    out_ref[0, :] = _gathered_iou(table_ref[...], ids_ref[0, :], f2)
 
 
 def intersection_volume_aligned(boxes1, boxes2):
@@ -232,4 +312,71 @@ def intersection_volume_aligned_pallas(boxes1, boxes2, interpret=False):
         out_shape=jax.ShapeDtypeStruct((1, pt), jnp.float32),
         interpret=interpret,
     )(b1, b2)
+    return out[0, :p]
+
+
+def iou_gathered(table, valid, ids, boxes2):
+    """Masked IoU of ``(table[ids[p]], boxes2[p])`` pairs, dispatched.
+
+    Pallas kernel with an in-kernel one-hot MXU gather on TPU (a plain
+    XLA row gather from the table costs ~35 ns/row — ~67 ms at
+    N=1.92M); the XLA clipper elsewhere (CPU tests, dryrun).
+
+    Args:
+        table: (G, 9) box table (e.g. padded GT boxes).
+        valid: (G,) row validity (bool or float).
+        ids: (P,) int32 table rows in [0, G).
+        boxes2: (P, 9) aligned counterpart boxes.
+    Returns:
+        (P,) float32 IoU; 0 wherever ``valid[ids[p]]`` is falsy.
+    """
+    if jax.default_backend() == "tpu":
+        return iou_gathered_pallas(table, valid, ids, boxes2)
+    from objectdetection_3d_tpu.ops.iou3d import (
+        intersection_volume_3d_aligned,
+    )
+    b1 = table[ids]
+    inter = jnp.maximum(intersection_volume_3d_aligned(b1, boxes2), 0.0)
+    vol1 = jnp.prod(b1[:, 3:6], axis=-1)
+    vol2 = jnp.prod(boxes2[:, 3:6], axis=-1)
+    union = vol1 + vol2 - inter
+    iou = jnp.where(union > _UNION_EPS,
+                    inter / jnp.maximum(union, _UNION_EPS), 0.0)
+    return iou * valid[ids].astype(iou.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def iou_gathered_pallas(table, valid, ids, boxes2, interpret=False):
+    """Pallas path of :func:`iou_gathered` (see `_gathered_kernel`)."""
+    g = table.shape[0]
+    gp = -(-g // 128) * 128
+    tab = jnp.zeros((10, gp), jnp.float32)
+    tab = tab.at[:9, :g].set(table.astype(jnp.float32).T)
+    tab = tab.at[9, :g].set(valid.astype(jnp.float32))
+    p = ids.shape[0]
+    pad = (-p) % _TILE
+    if pad:
+        ids = jnp.concatenate(
+            [ids, jnp.zeros((pad,), ids.dtype)])
+        boxes2 = jnp.concatenate(
+            [boxes2, jnp.zeros((pad, 9), boxes2.dtype)], 0)
+    pt = ids.shape[0]
+    b2 = boxes2.astype(jnp.float32).T
+
+    out = pl.pallas_call(
+        _gathered_kernel,
+        grid=(pt // _TILE,),
+        in_specs=[
+            pl.BlockSpec((10, gp), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, _TILE), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, pt), jnp.float32),
+        interpret=interpret,
+    )(tab, ids.astype(jnp.int32).reshape(1, pt), b2)
     return out[0, :p]

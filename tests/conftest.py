@@ -16,3 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the interpret-mode Pallas parity tests lower
+# to ~10k-op graphs whose cold CPU compile costs minutes; warm runs are
+# seconds.  (The cache helps the CPU backend only — axon remote compile
+# bypasses it, CLAUDE.md.)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
