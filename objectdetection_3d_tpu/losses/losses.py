@@ -89,8 +89,12 @@ class CrossEntropyLoss:
     def __call__(self, cls_score, label, weight=None, avg_factor=None):
         logp = jax.nn.log_softmax(cls_score, axis=-1)
         label_clipped = jnp.clip(label, 0, cls_score.shape[-1] - 1)
-        loss = -jnp.take_along_axis(
-            logp, label_clipped[..., None], axis=-1)[..., 0]
+        # one-hot select, not take_along_axis: a row gather over N rows
+        # costs ~25 ms real at N=1.92M x 3 axes on this chip, the
+        # elementwise select ~3 ms; exact (0/1 weights, finite logp)
+        sel = (label_clipped[..., None]
+               == jnp.arange(cls_score.shape[-1])).astype(logp.dtype)
+        loss = -jnp.sum(logp * sel, axis=-1)
         if weight is not None:
             loss = loss * weight
         loss = loss * self.loss_weight
