@@ -86,3 +86,35 @@ def test_gathered_iou_matches_xla_clipper():
         out = np.asarray(_gathered_iou(
             jnp.asarray(table), jnp.asarray(ids), _soa(b2)))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=1e-4)
+
+
+def test_gathered_iou_pair_matches_single():
+    """The fused 24-row two-pair ring == two independent 12-row rings."""
+    from objectdetection_3d_tpu.ops.pallas_iou3d import _gathered_iou_multi
+
+    rng = np.random.default_rng(2)
+    g, p = 16, 256
+    tab = np.zeros((g, 9), np.float32)
+    tab[:, :3] = rng.uniform(-4, 4, (g, 3))
+    tab[:, 3:6] = rng.uniform(0.5, 3, (g, 3))
+    tab[:, 6:9] = rng.uniform(-0.5, 0.5, (g, 3))
+    valid = rng.random(g) > 0.25
+    ids_a = rng.integers(0, g, p).astype(np.int32)
+    ids_b = rng.integers(0, g, p).astype(np.int32)
+    b2 = (tab[ids_a] + rng.normal(0, 0.6, (p, 9))).astype(np.float32)
+    b2[:, 3:6] = np.abs(b2[:, 3:6]) + 0.2
+
+    gp = -(-g // 128) * 128
+    table = np.zeros((10, gp), np.float32)
+    table[:9, :g] = tab.T
+    table[9, :g] = valid.astype(np.float32)
+    with jax.disable_jit():
+        pair = _gathered_iou_multi(
+            jnp.asarray(table), [jnp.asarray(ids_a), jnp.asarray(ids_b)],
+            _soa(b2))
+        lone_a = _gathered_iou_multi(
+            jnp.asarray(table), [jnp.asarray(ids_a)], _soa(b2))[0]
+        lone_b = _gathered_iou_multi(
+            jnp.asarray(table), [jnp.asarray(ids_b)], _soa(b2))[0]
+    np.testing.assert_array_equal(np.asarray(pair[0]), np.asarray(lone_a))
+    np.testing.assert_array_equal(np.asarray(pair[1]), np.asarray(lone_b))
