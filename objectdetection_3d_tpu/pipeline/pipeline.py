@@ -503,9 +503,15 @@ class ObjectDetection(BasePipeline):
             training_record = pd.DataFrame(
                 [], columns=["epoch", "precision", "recall", "f1"])
 
-        from objectdetection_3d_tpu.profiling import StepTimer, trace
+        from objectdetection_3d_tpu.profiling import (StepTimer,
+                                                      TensorBoardLogger,
+                                                      trace)
 
         timer = StepTimer(log_every=self.cfg.get("log_step_freq", 50))
+        tb = TensorBoardLogger(self.cfg.get("tensorboard", False),
+                               self.cfg.log_dir)
+        # resume continues the scalar stream at the right step index
+        global_step = max(start_ep - 1, 0) * len(train_loader)
         profile_dir = self.cfg.get("profile_dir", None)
         profile_steps = int(self.cfg.get("profile_steps", 0))
         profiled = 0
@@ -575,6 +581,16 @@ class ObjectDetection(BasePipeline):
                     float(v) for v in losses.values())
                 if hasattr(process_bar, "set_description"):
                     process_bar.set_description(desc)
+                tb.scalars("train", {k: float(v)
+                                     for k, v in losses.items()},
+                           global_step)
+                tb.scalar("train/loss_total",
+                          sum(float(v) for v in losses.values()),
+                          global_step)
+                if timer.last_rate:
+                    tb.scalar("train/steps_per_sec", timer.last_rate,
+                              global_step)
+                global_step += 1
 
             metrics_path = join(self.cfg.log_dir, "metrics.npy")
             if os.path.exists(metrics_path):
@@ -587,6 +603,9 @@ class ObjectDetection(BasePipeline):
                 training_record.loc[epoch] = [
                     epoch, metrics["precision"], metrics["recall"],
                     metrics["f1"]]
+                tb.scalars("valid", {k: metrics[k] for k in
+                                     ("precision", "recall", "f1")},
+                           epoch)
                 if metrics["f1"] > best_f1:
                     self.save_ckpt(epoch, save_best=True)
                     np.save(metrics_path,
@@ -605,5 +624,6 @@ class ObjectDetection(BasePipeline):
 
         for sig, handler in old_handlers.items():
             signal.signal(sig, handler)
+        tb.close()
         self.wait_for_ckpts()
         return training_record

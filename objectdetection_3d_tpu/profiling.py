@@ -73,3 +73,40 @@ def device_memory_stats(device=None):
 def annotate(name):
     """Named profiler span for host-side phases."""
     return jax.profiler.TraceAnnotation(name)
+
+
+class TensorBoardLogger:
+    """Optional TensorBoard scalar stream next to the csv/yaml artifacts.
+
+    The reference logs only to text files / csv (pipeline/pipeline.py:
+    442-447,472-475); SURVEY §5 plans the same artifact set "+ optional
+    TensorBoard scalars".  Disabled (all no-ops) unless ``enabled`` and
+    ``torch.utils.tensorboard`` import cleanly — never a hard dependency.
+    """
+
+    def __init__(self, enabled, log_dir):
+        self._w = None
+        if not enabled:
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            import os
+            self._w = SummaryWriter(os.path.join(str(log_dir), "tb"))
+            log.info("TensorBoard scalars in %s/tb", log_dir)
+        except Exception as e:  # noqa: BLE001 — optional dependency
+            log.warning("tensorboard requested but unavailable (%s); "
+                        "scalar stream disabled", e)
+
+    def scalar(self, tag, value, step):
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), int(step))
+
+    def scalars(self, prefix, values, step):
+        for k, v in values.items():
+            self.scalar(f"{prefix}/{k}", v, step)
+
+    def close(self):
+        if self._w is not None:
+            self._w.flush()
+            self._w.close()
+            self._w = None

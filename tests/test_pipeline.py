@@ -93,7 +93,7 @@ def make_cfg(root, inference_mode=False, resume_from=None):
             "training_batch_size": 2, "validation_batch_size": 2,
             "testing_batch_size": 2, "save_ckpt_freq": 1, "max_epoch": 1,
             "grad_clip_norm": 2, "num_workers": 0, "pin_memory": False,
-            "validation_freq": 1,
+            "validation_freq": 1, "tensorboard": True,
             "optimizer": {"lr": 0.003, "betas": [0.95, 0.99],
                           "weight_decay": 0.01},
             "overlaps": [0.1],
@@ -125,6 +125,9 @@ def test_training_artifacts(trained_run):
     assert {"epoch", "precision", "recall", "f1"} <= set(record.columns)
     logs = [f for f in os.listdir(log_dir) if f.startswith("log_train_")]
     assert logs
+    # optional TensorBoard scalar stream (pipeline: tensorboard: true)
+    tb_dir = os.path.join(log_dir, "tb")
+    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
 
 
 def test_losses_recorded_finite(trained_run):
