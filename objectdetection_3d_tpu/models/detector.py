@@ -335,14 +335,27 @@ class PointPillars(BaseModel):
         loss_bbox = self.loss_bbox(pred_sin, tgt_sin, weight=posw,
                                    avg_factor=avg)
 
-        dirs_flat = dirs.reshape(-1, 3, 2)
-        dir_tgt = assign["dir_targets"].reshape(-1, 3)
-        posw1 = pos_f
-        loss_dir = {}
-        for i, ax in enumerate("xyz"):
-            loss_dir[ax] = self.loss_dir(
-                dirs_flat[:, i], dir_tgt[:, i], weight=posw1,
-                avg_factor=avg)
+        # Direction CE in the head's native raster layout.  The obvious
+        # dirs.reshape(-1, 3, 2) materializes f32[1.92M, 3, 2] whose TPU
+        # tiling pads 44 MB to 3.66 GB (85x) as a saved backward residual
+        # — both an HBM blowout and ~90 ms of wasted bytes.  The pairwise
+        # log-softmax below is the same CrossEntropyLoss math (reference
+        # model/PointPillars.py:187-202) computed on (..., A*3) arrays
+        # whose channel order [anchor, axis] matches dir_targets' flat
+        # (h, w, anchor, axis) order; per-axis sums slice channels i::3.
+        d0 = dirs[..., 0::2]                     # bin-0 logits (..., A*3)
+        d1 = dirs[..., 1::2]                     # bin-1 logits
+        lse = jnp.logaddexp(d0, d1)
+        dir_tgt = assign["dir_targets"].reshape(d0.shape)
+        logp_sel = jnp.where(dir_tgt == 1, d1, d0) - lse
+        pos_w3 = jnp.repeat(
+            (assign["pos_mask"].astype(jnp.float32)
+             * item_valid[:, None]).reshape(d0.shape[:-1]
+                                            + (d0.shape[-1] // 3,)),
+            3, axis=-1)
+        dir_ce = -logp_sel * pos_w3 * self.loss_dir.loss_weight
+        loss_dir = {ax: jnp.sum(dir_ce[..., i::3]) / avg
+                    for i, ax in enumerate("xyz")}
 
         return {
             "loss_cls": loss_cls,

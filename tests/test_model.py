@@ -47,6 +47,42 @@ def test_loss_finite_and_positive(model_and_vars):
     assert float(losses["loss_cls"]) > 0
 
 
+def test_dir_loss_matches_per_axis_cross_entropy(model_and_vars):
+    """The raster-layout pairwise log-softmax in detector.loss (which
+    avoids the 85x-padded f32[N,3,2] reshape on TPU) must equal the naive
+    reference formulation: per-axis CrossEntropyLoss over dirs.reshape
+    (-1, 3, 2) with the positive-anchor weights."""
+    from objectdetection_3d_tpu.losses import CrossEntropyLoss
+    from objectdetection_3d_tpu.models.assign import assign_targets
+
+    model, variables = model_and_vars
+    batch = to_device(tiny_batch(batch_size=2))
+    outs, _ = model.apply(variables, batch, train=False)
+    losses = model.loss(outs, batch)
+
+    assign = jax.vmap(
+        lambda gt, lbl, msk: assign_targets(
+            model.anchors, gt, lbl, msk,
+            pos_thr=model._pos_thr, neg_thr=model._neg_thr,
+            candidates_per_gt=int(
+                model.tpu_cfg["assign_candidates_per_gt"]),
+            num_classes=model.num_classes,
+            anchor_aabb=model.anchor_aabb,
+            layout=model.anchor_layout,
+        ))(batch["bboxes"], batch["labels"], batch["gt_mask"])
+    pos_f = assign["pos_mask"].astype(jnp.float32).reshape(-1)
+    avg = max(float(jnp.sum(assign["num_pos"])), 1.0)
+
+    ce = CrossEntropyLoss(loss_weight=model.loss_dir.loss_weight)
+    dirs_flat = outs[2].reshape(-1, 3, 2)
+    dir_tgt = assign["dir_targets"].reshape(-1, 3)
+    for i, ax in enumerate("xyz"):
+        expected = float(ce(dirs_flat[:, i], dir_tgt[:, i],
+                            weight=pos_f, avg_factor=avg))
+        np.testing.assert_allclose(float(losses[f"loss_dir_{ax}"]),
+                                   expected, rtol=1e-5, atol=1e-7)
+
+
 def test_train_step_decreases_loss(model_and_vars):
     model, variables = model_and_vars
     batch = to_device(tiny_batch(batch_size=2))
