@@ -34,6 +34,18 @@ from objectdetection_3d_tpu.ops.nms import multiclass_nms
 from objectdetection_3d_tpu.ops.voxelize import Voxelizer
 
 
+def _parse_remat(value):
+    """Normalize the ``tpu: remat`` config value.
+
+    Accepts booleans plus the per-stage strings ``"all"``, ``"middle"``
+    and ``"rpn"`` (see PointPillarsNet.remat for the trade-offs).
+    """
+    if value in (False, True, "all", "middle", "rpn"):
+        return value
+    raise ValueError(
+        f"tpu.remat must be true/false/'all'/'middle'/'rpn', got {value!r}")
+
+
 class PointPillars(BaseModel):
     """TPU-native PointPillars with 9-parameter fully-rotated boxes."""
 
@@ -162,7 +174,8 @@ class PointPillars(BaseModel):
                 int(v) for v in neck.get("upsample_strides", [])),
             sparse_middle=bool(self.tpu_cfg.get("sparse_middle", False)),
             sparse_budget=int(self.tpu_cfg.get("sparse_budget", 0)),
-            remat=bool(self.tpu_cfg.get("remat", False)),
+            # False | True/"all" | "middle" | "rpn" (see PointPillarsNet)
+            remat=_parse_remat(self.tpu_cfg.get("remat", False)),
             # bool = all stages; int n = first n stages only
             decompose_convs=self.tpu_cfg.get("decompose_convs", False),
             pallas_subm=bool(

@@ -7,7 +7,7 @@ Anchor3DHead, with the dense backbone/neck constructed but bypassed
 over a static (B, D, H, W) grid.
 """
 
-from typing import Sequence, Tuple
+from typing import Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -57,9 +57,13 @@ class PointPillarsNet(nn.Module):
     # would need a Pallas DMA-gather kernel or <<0.2% occupancy.
     sparse_middle: bool = False
     sparse_budget: int = 0
-    # rematerialize the encoder/RPN in the backward pass (the full-grid
-    # activations otherwise exceed HBM when training the flagship config)
-    remat: bool = False
+    # rematerialize stages in the backward pass (the full-grid activations
+    # otherwise exceed HBM when training the flagship config).  True/"all"
+    # remats both the vertical encoder and the RPN; "rpn" remats only the
+    # RPN (keeps the encoder's residuals resident but skips its ~0.1 s
+    # recompute — the fastest fitting choice for the flagship config);
+    # "middle" remats only the encoder; False keeps everything.
+    remat: Union[bool, str] = False
     # lower 3D convs as z-shifted 2D convs: halves the lane-padding waste
     # of the (..., C=20) grid buffers (XLA pads C to 128); needed to fit
     # full-scale training in HBM.  bool = all stages, int n = first n
@@ -192,7 +196,7 @@ class PointPillarsNet(nn.Module):
                                         indices_are_sorted=True)
 
             middle_cls = SparseMiddleExtractor
-            if self.remat:
+            if self.remat in (True, "all", "middle"):
                 middle_cls = nn.remat(SparseMiddleExtractor,
                                       static_argnums=(3,))
             pseudo, _ = middle_cls(
@@ -227,7 +231,7 @@ class PointPillarsNet(nn.Module):
             rpn_mask = jnp.any(pseudo != 0, axis=-1)
 
             rpn_cls = SubmanifoldSparseRPN
-            if self.remat:
+            if self.remat in (True, "all", "rpn"):
                 rpn_cls = nn.remat(SubmanifoldSparseRPN,
                                    static_argnums=(3,))
             x = rpn_cls(

@@ -207,3 +207,47 @@ def test_multiclass_model():
     out = model.make_predict_fn()(variables, batch)
     labels = np.asarray(out["label"])
     assert set(np.unique(labels)) <= {0, 1}
+
+
+@pytest.mark.parametrize("variant", ["all", "middle", "rpn"])
+def test_remat_variants_match_no_remat(variant):
+    """Per-stage remat is a pure memory/time trade: gradients (thus the
+    first train-step losses) must be identical to the no-remat program.
+
+    The flagship config remats selectively (tpu: remat: "rpn" keeps the
+    vertical encoder's residuals resident); this pins every variant to
+    the no-remat semantics at tiny scale.
+    """
+    batch = to_device(tiny_batch(batch_size=2))
+    results = {}
+    for remat in (False, variant):
+        cfg = tiny_model_cfg()
+        cfg["tpu"]["remat"] = remat
+        model = PointPillars(**cfg)
+        variables = model.init_variables(jax.random.PRNGKey(0))
+        tx = model.get_optimizer(dict(lr=3e-3, betas=[0.95, 0.99],
+                                      weight_decay=0.01),
+                                 grad_clip_value=2.0)
+        step = model.make_train_step(tx, donate=False)
+        state = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"],
+                 "opt_state": tx.init(variables["params"])}
+        state, losses = step(state, batch)
+        results[remat] = (losses, state["params"])
+    base_losses, base_params = results[False]
+    var_losses, var_params = results[variant]
+    for k in base_losses:
+        np.testing.assert_allclose(float(var_losses[k]),
+                                   float(base_losses[k]),
+                                   rtol=1e-6, err_msg=k)
+    for (pa, pb) in zip(jax.tree_util.tree_leaves(base_params),
+                        jax.tree_util.tree_leaves(var_params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_remat_config_validation():
+    cfg = tiny_model_cfg()
+    cfg["tpu"]["remat"] = "encoder"  # not a valid stage name
+    with pytest.raises(ValueError, match="remat"):
+        PointPillars(**cfg)
