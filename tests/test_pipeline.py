@@ -166,6 +166,53 @@ def test_run_testing_with_best_ckpt(trained_run):
     assert np.isfinite(protocol["6_f1"]) or protocol["6_f1"] == 0
 
 
+def test_run_testing_falls_back_to_latest_ckpt(trained_run):
+    """With no ckpt_best (validation F1 never beat 0), run_testing loads
+    the newest periodic checkpoint instead of crashing.  The reference
+    crashes here (pipeline/pipeline.py:81 loads ckpt_best.pth
+    unconditionally) — deliberate usability improvement."""
+    import shutil
+
+    workspace, train_pipeline, _ = trained_run
+    log_dir = train_pipeline.cfg.log_dir
+    ckpt_dir = os.path.join(log_dir, "checkpoint")
+    best = os.path.join(ckpt_dir, "ckpt_best.pkl")
+    stash = best + ".stash"
+    had_best = os.path.exists(best)
+    if had_best:
+        shutil.move(best, stash)
+    try:
+        version = os.path.basename(os.path.dirname(os.path.dirname(
+            log_dir.rstrip("/") + "/")))
+        cfg = make_cfg(workspace, inference_mode=True, resume_from=version)
+        global_cfg = cfg.dump()
+        cfg_dataset, cfg_pipeline, cfg_model = Config.initialize_params(cfg)
+        dataset = Forest3D(**cfg_dataset)
+        model = PointPillars(**cfg_model)
+        pipeline = ObjectDetection(model, dataset, global_cfg, **cfg_pipeline)
+        protocol = pipeline.run_testing()
+        assert np.isfinite(protocol["6_f1"]) or protocol["6_f1"] == 0
+    finally:
+        if had_best:
+            shutil.move(stash, best)
+
+
+def test_load_ckpt_raises_with_no_ckpts_at_all(trained_run, tmp_path):
+    workspace, train_pipeline, _ = trained_run
+    log_dir = train_pipeline.cfg.log_dir
+    version = os.path.basename(os.path.dirname(os.path.dirname(
+        log_dir.rstrip("/") + "/")))
+    cfg = make_cfg(workspace, inference_mode=True, resume_from=version)
+    global_cfg = cfg.dump()
+    cfg_dataset, cfg_pipeline, cfg_model = Config.initialize_params(cfg)
+    dataset = Forest3D(**cfg_dataset)
+    model = PointPillars(**cfg_model)
+    pipeline = ObjectDetection(model, dataset, global_cfg, **cfg_pipeline)
+    pipeline.cfg.log_dir = str(tmp_path) + "/"  # empty: no checkpoint dir
+    with pytest.raises(ValueError, match="no pretrained model"):
+        pipeline.load_ckpt()
+
+
 def test_run_inference_single_item(trained_run):
     workspace, train_pipeline, _ = trained_run
     ds = train_pipeline.dataset.get_split("testing")
