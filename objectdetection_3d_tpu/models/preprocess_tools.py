@@ -174,10 +174,16 @@ def compute_fpfh(points, normals, radius, max_nn, bins=11):
 
 
 class Featurizer:
-    """Normals + FPFH-33 featurization (reference model/utils.py:46-90)."""
+    """Normals + FPFH-33 featurization (reference model/utils.py:46-90).
+
+    Backend order under ``backend="auto"``: open3d (when installed, the
+    reference's own engine) -> native C++ (our threaded grid-kNN
+    implementation, ``native/featurize.cpp``) -> pure numpy.  Pass
+    ``backend="open3d" | "native" | "numpy"`` to pin one.
+    """
 
     def __init__(self, normal_rad, normal_max_nn, fpfh_rad, fpfh_max_nn,
-                 **kwargs):
+                 backend="auto", **kwargs):
         assert isinstance(normal_rad, float), \
             "Radius for normals evaluation has to be a float value"
         assert isinstance(normal_max_nn, int), \
@@ -186,24 +192,46 @@ class Featurizer:
             "Radius for fpfh evaluation has to be a float value"
         assert isinstance(fpfh_max_nn, int), \
             "Maximum number of nearest neighbors for fpfh has to be int"
+        assert backend in ("auto", "open3d", "native", "numpy"), backend
         self.normal_rad = normal_rad
         self.normal_max_nn = normal_max_nn
         self.fpfh_rad = fpfh_rad
         self.fpfh_max_nn = fpfh_max_nn
+        self.backend = backend
 
     def generate_features(self, point_cloud):
         assert isinstance(point_cloud, np.ndarray) and \
             point_cloud.shape[0] > 0, \
             "Input matrix has to be a non-empty numpy array"
-        try:
-            return self._open3d_features(point_cloud)
-        except ImportError:
-            xyz = point_cloud[:, :3].astype(np.float64)
-            normals = estimate_normals(xyz, self.normal_rad,
-                                       self.normal_max_nn)
-            fpfh = compute_fpfh(xyz, normals, self.fpfh_rad,
-                                self.fpfh_max_nn)
-            return np.concatenate([point_cloud, normals, fpfh], axis=1)
+        if self.backend in ("auto", "open3d"):
+            try:
+                return self._open3d_features(point_cloud)
+            except ImportError:
+                if self.backend == "open3d":
+                    raise
+        if self.backend in ("auto", "native"):
+            out = self._native_features(point_cloud)
+            if out is not None:
+                return out
+            if self.backend == "native":
+                raise RuntimeError("native featurizer unavailable")
+        xyz = point_cloud[:, :3].astype(np.float64)
+        normals = estimate_normals(xyz, self.normal_rad,
+                                   self.normal_max_nn)
+        fpfh = compute_fpfh(xyz, normals, self.fpfh_rad,
+                            self.fpfh_max_nn)
+        return np.concatenate([point_cloud, normals, fpfh], axis=1)
+
+    def _native_features(self, point_cloud):
+        from objectdetection_3d_tpu import native
+
+        out = native.featurize_cloud(
+            point_cloud.astype(np.float64), self.normal_rad,
+            self.normal_max_nn, self.fpfh_rad, self.fpfh_max_nn)
+        if out is None:
+            return None
+        normals, fpfh = out
+        return np.concatenate([point_cloud, normals, fpfh], axis=1)
 
     def _open3d_features(self, point_cloud):
         import open3d as o3d

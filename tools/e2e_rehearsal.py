@@ -107,16 +107,25 @@ def main():
     (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
     run("run_testing.py", root)
 
-    # artifact audit (the reference's full output contract)
+    # artifact audit (the reference's full output contract).
+    # metrics.npy and ckpt_best are written only when validation F1
+    # improves past 0 (pipeline.py, matching reference
+    # pipeline/pipeline.py:512-530) — a 2-epoch smoke run may
+    # legitimately never produce them, but they must come as a pair.
     rd = runs[-1]
-    want = ["process_config.json", "training_record.csv", "metrics.npy"]
+    want = ["process_config.json", "training_record.csv"]
     missing = [w for w in want if not list(rd.rglob(w))]
     ckpts = list(rd.rglob("ckpt_*"))
     protocols = list(rd.rglob("test_protocol.yaml"))
+    has_best = [p for p in ckpts if "best" in p.name]
+    has_metrics = list(rd.rglob("metrics.npy"))
     print(f"artifacts: missing={missing} ckpts={len(ckpts)} "
-          f"protocols={len(protocols)}", flush=True)
+          f"protocols={len(protocols)} best={len(has_best)} "
+          f"metrics={len(has_metrics)}", flush=True)
     if missing or not ckpts or not protocols:
         raise SystemExit("artifact audit failed")
+    if bool(has_best) != bool(has_metrics):
+        raise SystemExit("best-ckpt/metrics.npy pairing broken")
     print("E2E REHEARSAL OK", flush=True)
 
 

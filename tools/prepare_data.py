@@ -23,7 +23,8 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 from objectdetection_3d_tpu.config import Config
 from objectdetection_3d_tpu.models.preprocess_tools import (
