@@ -54,16 +54,21 @@ void parallel_for(int64_t n, F&& body) {
   for (auto& th : pool) th.join();
 }
 
-// Uniform-grid neighbor index: point ids bucketed by cell (cell edge =
-// search radius), cells addressed by a flat key, buckets found by
-// binary search over the sorted unique keys.
+// Uniform-grid neighbor index (cell edge = search radius): counting
+// sort buckets the point ids by flat cell key, and the xyz coordinates
+// are REORDERED into bucket order so a 27-cell probe scans 27
+// contiguous ranges (the binary-search formulation was memory-latency
+// bound: 27 searches x ~24 random cache lines per query).  Queries are
+// issued in bucket order too, so consecutive queries touch the same
+// neighbor cells while they are cache-hot.
 struct Grid {
   double cell;
   double mn[3];
   int64_t dims[3];
-  // points sorted by cell key
-  std::vector<int32_t> ids;
-  std::vector<int64_t> sorted_keys;  // key per sorted point (same order)
+  int64_t ncells = 0;
+  std::vector<int64_t> starts;     // (ncells + 1) bucket offsets
+  std::vector<int32_t> ids;        // original id per sorted slot
+  std::vector<double> sorted_xyz;  // (n, 3) coords in bucket order
 
   bool build(const double* pts, int64_t n, double radius) {
     cell = radius;
@@ -80,19 +85,29 @@ struct Grid {
       dims[k] = static_cast<int64_t>((mx[k] - mn[k]) / cell) + 1;
       prod *= static_cast<double>(dims[k]);
     }
-    if (!(prod < 9.0e17)) return false;  // flat key would overflow
+    // bucket-offset memory: bound the cell table to ~16 bytes/point or
+    // 256M cells, whichever is larger (degenerate radii fall back to
+    // the numpy path rather than exhausting memory)
+    double cap = std::max(2.0 * static_cast<double>(n), 2.68e8);
+    if (!(prod < cap)) return false;
+    ncells = dims[0] * dims[1] * dims[2];
 
-    ids.resize(n);
-    sorted_keys.resize(n);
     std::vector<int64_t> keys(n);
+    starts.assign(ncells + 1, 0);
     for (int64_t i = 0; i < n; ++i) {
       keys[i] = key_of(pts + i * 3);
-      ids[i] = static_cast<int32_t>(i);
+      ++starts[keys[i] + 1];
     }
-    std::sort(ids.begin(), ids.end(), [&](int32_t a, int32_t b) {
-      return keys[a] < keys[b] || (keys[a] == keys[b] && a < b);
-    });
-    for (int64_t i = 0; i < n; ++i) sorted_keys[i] = keys[ids[i]];
+    for (int64_t c = 0; c < ncells; ++c) starts[c + 1] += starts[c];
+    ids.resize(n);
+    sorted_xyz.resize(n * 3);
+    std::vector<int64_t> cursor(starts.begin(), starts.end() - 1);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t slot = cursor[keys[i]]++;
+      ids[slot] = static_cast<int32_t>(i);
+      for (int k = 0; k < 3; ++k)
+        sorted_xyz[slot * 3 + k] = pts[i * 3 + k];
+    }
     return true;
   }
 
@@ -103,9 +118,9 @@ struct Grid {
     return (cx * dims[1] + cy) * dims[2] + cz;
   }
 
-  // Collect ids of points with ||p - q|| <= radius into `out`
-  // (id, squared distance); self-inclusive.
-  void radius_candidates(const double* pts, const double* q,
+  // Collect points with ||p - q|| <= radius into `out` as
+  // (squared distance, original id); self-inclusive.
+  void radius_candidates(const double* q,
                          std::vector<std::pair<double, int32_t>>& out)
       const {
     out.clear();
@@ -113,27 +128,22 @@ struct Grid {
     int64_t cx = static_cast<int64_t>((q[0] - mn[0]) / cell);
     int64_t cy = static_cast<int64_t>((q[1] - mn[1]) / cell);
     int64_t cz = static_cast<int64_t>((q[2] - mn[2]) / cell);
-    for (int64_t dx = -1; dx <= 1; ++dx) {
-      int64_t x = cx + dx;
-      if (x < 0 || x >= dims[0]) continue;
-      for (int64_t dy = -1; dy <= 1; ++dy) {
-        int64_t y = cy + dy;
-        if (y < 0 || y >= dims[1]) continue;
-        for (int64_t dz = -1; dz <= 1; ++dz) {
-          int64_t z = cz + dz;
-          if (z < 0 || z >= dims[2]) continue;
-          int64_t key = (x * dims[1] + y) * dims[2] + z;
-          auto lo = std::lower_bound(sorted_keys.begin(),
-                                     sorted_keys.end(), key);
-          auto hi = std::upper_bound(lo, sorted_keys.end(), key);
-          for (auto it = lo; it != hi; ++it) {
-            int32_t id = ids[it - sorted_keys.begin()];
-            const double* p = pts + id * 3;
-            double ddx = p[0] - q[0], ddy = p[1] - q[1],
-                   ddz = p[2] - q[2];
-            double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-            if (d2 <= r2) out.emplace_back(d2, id);
-          }
+    int64_t z0 = std::max<int64_t>(cz - 1, 0);
+    int64_t z1 = std::min<int64_t>(cz + 1, dims[2] - 1);
+    for (int64_t x = std::max<int64_t>(cx - 1, 0);
+         x <= std::min<int64_t>(cx + 1, dims[0] - 1); ++x) {
+      for (int64_t y = std::max<int64_t>(cy - 1, 0);
+           y <= std::min<int64_t>(cy + 1, dims[1] - 1); ++y) {
+        // the z-run of <=3 cells is contiguous in the flat key: scan
+        // it as ONE range
+        int64_t key0 = (x * dims[1] + y) * dims[2] + z0;
+        int64_t lo = starts[key0];
+        int64_t hi = starts[key0 + (z1 - z0) + 1];
+        for (int64_t s = lo; s < hi; ++s) {
+          const double* p = sorted_xyz.data() + s * 3;
+          double ddx = p[0] - q[0], ddy = p[1] - q[1], ddz = p[2] - q[2];
+          double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+          if (d2 <= r2) out.emplace_back(d2, ids[s]);
         }
       }
     }
@@ -231,9 +241,10 @@ int64_t featurize_cloud(const double* pts, int64_t n,
   } else {
     Grid grid;
     if (!grid.build(pts, n, normal_rad)) return 2;
-    parallel_for(n, [&](int64_t i) {
+    parallel_for(n, [&](int64_t s) {
+      int64_t i = grid.ids[s];  // query in bucket order: cache-hot cells
       thread_local std::vector<std::pair<double, int32_t>> cand;
-      grid.radius_candidates(pts, pts + i * 3, cand);
+      grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
       keep_k_nearest(cand, normal_max_nn);
       double cnt = std::max<double>(cand.size(), 1.0);
       double mean[3] = {0, 0, 0};
@@ -293,9 +304,10 @@ int64_t featurize_cloud(const double* pts, int64_t n,
     b3[2] = bin_of(theta, -pi, pi);
   };
 
-  parallel_for(n, [&](int64_t i) {
+  parallel_for(n, [&](int64_t s) {
+    int64_t i = grid.ids[s];
     thread_local std::vector<std::pair<double, int32_t>> cand;
-    grid.radius_candidates(pts, pts + i * 3, cand);
+    grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
     keep_k_nearest(cand, fpfh_max_nn);
     float* h = spfh.data() + i * 3 * kBins;
     int64_t cnt = 0;
@@ -314,9 +326,10 @@ int64_t featurize_cloud(const double* pts, int64_t n,
 
   // --- FPFH combine ---------------------------------------------------
   // fpfh[i] = spfh[i] + (sum_j spfh[j] / max(dist_j, 1e-6)) / k_i
-  parallel_for(n, [&](int64_t i) {
+  parallel_for(n, [&](int64_t s) {
+    int64_t i = grid.ids[s];
     thread_local std::vector<std::pair<double, int32_t>> cand;
-    grid.radius_candidates(pts, pts + i * 3, cand);
+    grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
     keep_k_nearest(cand, fpfh_max_nn);
     double acc[3 * kBins] = {0};
     int64_t k_valid = 0;
