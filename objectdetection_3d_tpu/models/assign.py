@@ -55,6 +55,12 @@ from objectdetection_3d_tpu.ops.pallas_iou3d import (
     iou_gathered,
     iou_gathered_pair,
 )
+# the one shared top-3 merge — the Pallas geometry kernel body folds with
+# the same function, keeping tie ordering identical across both
+# assignment paths (the scans below and ops/assign_geometry's kernel)
+from objectdetection_3d_tpu.ops.assign_geometry import (
+    top3_merge as _top3_merge,
+)
 
 
 def _aabb_and_volume(boxes):
@@ -196,22 +202,6 @@ def _chunk_geometry(gt_boxes, gt_mask, layout, cell_on_v):
     }
 
 
-def _top3_merge(c1, g1, c2, g2, c3, g3, w, gw):
-    """Fold candidate (w, gw) into a running per-anchor top-3."""
-    b1 = w > c1
-    n1 = jnp.where(b1, w, c1)
-    m1 = jnp.where(b1, gw, g1)
-    w2 = jnp.where(b1, c1, w)
-    gw2 = jnp.where(b1, g1, gw)
-    b2 = w2 > c2
-    n2 = jnp.where(b2, w2, c2)
-    m2 = jnp.where(b2, gw2, g2)
-    w3 = jnp.where(b2, c2, w2)
-    gw3 = jnp.where(b2, g2, gw2)
-    b3 = w3 > c3
-    n3 = jnp.where(b3, w3, c3)
-    m3 = jnp.where(b3, gw3, g3)
-    return n1, m1, n2, m2, n3, m3
 
 
 def _segment_max_small(vals, ids, g):
@@ -249,7 +239,8 @@ def _merge_best(m1, b1, m2, b2):
     return jnp.maximum(m1, m2), jnp.where(better2, b2, b1)
 
 
-def _tier_exact_pair(gt_boxes, gt_mask, anchors, a1, v1, a2, v2, g):
+def _tier_exact_pair(gt_boxes, gt_mask, anchors, a1, v1, a2, v2, g,
+                     pallas="auto"):
     """Exact IoU of every anchor against its top-2 selected GTs (tier 4).
 
     One fused aligned (N,) clipper pass for BOTH selections — Pallas on
@@ -261,7 +252,8 @@ def _tier_exact_pair(gt_boxes, gt_mask, anchors, a1, v1, a2, v2, g):
     """
     safe1 = jnp.clip(a1, 0, max(g - 1, 0))
     safe2 = jnp.clip(a2, 0, max(g - 1, 0))
-    t1, t2 = iou_gathered_pair(gt_boxes, gt_mask, safe1, safe2, anchors)
+    t1, t2 = iou_gathered_pair(gt_boxes, gt_mask, safe1, safe2, anchors,
+                               pallas=pallas)
     t1 = jnp.where((a1 < g) & (v1 > -1e9), t1, 0.0)
     t2 = jnp.where((a2 < g) & (v2 > -1e9), t2, 0.0)
     return t1, t2
@@ -313,12 +305,12 @@ def _blockwise_topk(ub, k, block):
 @partial(jax.jit,
          static_argnames=("candidates_per_gt", "gt_chunk", "num_classes",
                           "prefilter", "prefilter_block",
-                          "exact_anchor_tier", "geometry"))
+                          "exact_anchor_tier", "geometry", "pallas"))
 def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
                    candidates_per_gt=512, gt_chunk=16, num_classes=1,
                    anchor_aabb=None, prefilter="approx",
                    prefilter_block=128, layout=None,
-                   exact_anchor_tier=True, geometry="auto"):
+                   exact_anchor_tier=True, geometry="auto", pallas="auto"):
     """Assign GT boxes to anchors for one point cloud.
 
     Matching rules follow reference model/PointPillars.py:964-978:
@@ -369,6 +361,11 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             runs the kernel in interpreter mode (CPU parity tests).
             Both produce identical assignments (tested in
             tests/test_assign_geometry.py / test_assign.py).
+        pallas: "off" forces every Pallas dispatch (geometry kernel,
+            stage-2 clipper, exact tier, containment rescue) onto the
+            XLA formulations even on TPU.  Mesh-sharded callers must use
+            this: GSPMD has no partitioning rule for Mosaic custom calls
+            (see parallel/data_parallel.py).
     Returns:
         dict with per-anchor arrays:
             pos_mask, neg_mask: (N,) bool
@@ -403,6 +400,11 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     pad_g = (-g) % chunk
     gt_idx = jnp.arange(g + pad_g) % jnp.maximum(g, 1)
     chunks = gt_idx.reshape(-1, chunk)
+    # padding rows wrap onto real GTs for static shapes; mask them out of
+    # the per-anchor top-3 key merge or a duplicated GT occupies BOTH
+    # exact-tier slots (t2 is then zeroed as a duplicate and the genuine
+    # second-best GT is never exactly clipped)
+    chunks_ok = (jnp.arange(g + pad_g) < g).reshape(-1, chunk)
 
     def select_topk(key):
         if prefilter == "approx" and k < n:
@@ -414,7 +416,7 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         return jax.lax.top_k(key, k)
 
     use_pallas = (geometry in ("pallas", "pallas_interpret")
-                  or (geometry == "auto"
+                  or (geometry == "auto" and pallas != "off"
                       and jax.default_backend() == "tpu"))
     if layout is not None and use_pallas:
         from objectdetection_3d_tpu.ops.assign_geometry import (
@@ -438,10 +440,11 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             """(M, Ncp) m-major kernel layout -> (N,) flat cell-major."""
             return x[:, :nc_cells].T.reshape(-1)
 
-        def scan_body(carry, idx_chunk):
+        def scan_body(carry, xs):
+            idx_chunk, ok_chunk = xs
             (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3) = carry
             out = chunk_geometry(
-                gt_boxes[idx_chunk], gt_mask[idx_chunk],
+                gt_boxes[idx_chunk], gt_mask[idx_chunk] & ok_chunk,
                 idx_chunk.astype(jnp.int32), layout, cellc_pad,
                 combo_tab, g, interpret=interp)
             gch = idx_chunk.shape[0]
@@ -469,7 +472,8 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         carry0 = (jnp.zeros(shp, jnp.float32), gsent2,
                   jnp.zeros(shp, bool),
                   neg_inf, gsent2, neg_inf, gsent2, neg_inf, gsent2)
-        carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0, chunks)
+        carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0,
+                                             (chunks, chunks_ok))
         (cont_max, cont_best, overlap_possible,
          v1, a1, v2, a2, v3, a3) = (mm_to_flat(c) for c in carry)
         cont_row_max = jnp.zeros((g,), jnp.float32).at[
@@ -478,7 +482,7 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         if exact_anchor_tier:
             # tier 4: clip every anchor exactly against its top-2 gts
             t1, t2 = _tier_exact_pair(gt_boxes, gt_mask, anchors,
-                                      a1, v1, a2, v2, g)
+                                      a1, v1, a2, v2, g, pallas=pallas)
             t2 = jnp.where(a2 == a1, 0.0, t2)  # duplicate slot
             tier_max = jnp.maximum(t1, t2)
             tier_best = jnp.where(
@@ -509,9 +513,11 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
                               == am[None, :], -jnp.inf, v)
             return out
 
-        def scan_body(carry, idx_chunk):
+        def scan_body(carry, xs):
+            idx_chunk, ok_chunk = xs
             (cmax, cbest, anymb, v1, a1, v2, a2, v3, a3) = carry
-            geo = _chunk_geometry(gt_boxes[idx_chunk], gt_mask[idx_chunk],
+            geo = _chunk_geometry(gt_boxes[idx_chunk],
+                                  gt_mask[idx_chunk] & ok_chunk,
                                   layout, cell_on_v)
             gch = idx_chunk.shape[0]
             key2d = geo["key"].reshape(gch, n)
@@ -541,7 +547,8 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         carry0 = (jnp.zeros((n,), jnp.float32), gsent,
                   jnp.zeros((n,), bool),
                   neg_inf, gsent, neg_inf, gsent, neg_inf, gsent)
-        carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0, chunks)
+        carry, (cand_idx, rm) = jax.lax.scan(scan_body, carry0,
+                                             (chunks, chunks_ok))
         (cont_max, cont_best, overlap_possible,
          v1, a1, v2, a2, v3, a3) = carry
         cont_row_max = jnp.zeros((g,), jnp.float32).at[
@@ -550,7 +557,7 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
         if exact_anchor_tier:
             # tier 4: clip every anchor exactly against its top-2 gts
             t1, t2 = _tier_exact_pair(gt_boxes, gt_mask, anchors,
-                                      a1, v1, a2, v2, g)
+                                      a1, v1, a2, v2, g, pallas=pallas)
             t2 = jnp.where(a2 == a1, 0.0, t2)  # duplicate slot
             tier_max = jnp.maximum(t1, t2)
             tier_best = jnp.where(
@@ -589,7 +596,7 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
     cand_idx = cand_idx.reshape(-1, k)[:g]  # (G, K)
 
     # --- stage 2: exact IoU on candidates --------------------------------
-    if jax.default_backend() == "tpu":
+    if pallas != "off" and jax.default_backend() == "tpu":
         # one aligned pass through the Pallas clipper with the GT side
         # gathered in-kernel (G*K pairs; the chunked XLA clipper below
         # measures ~1.2 M pairs/s — ~55 ms at G=128, K=512)
@@ -597,7 +604,7 @@ def assign_targets(anchors, gt_boxes, gt_labels, gt_mask, pos_thr, neg_thr,
             jnp.arange(g, dtype=jnp.int32)[:, None], (g, k)).reshape(-1)
         exact = iou_gathered(
             gt_boxes, gt_mask, rows,
-            anchors[cand_idx.reshape(-1)]).reshape(g, k)
+            anchors[cand_idx.reshape(-1)], pallas=pallas).reshape(g, k)
     else:
         def exact_chunk(args):
             gti, ci = args  # (chunk,), (chunk, K)

@@ -8,6 +8,7 @@ losses and the jitted train / predict functions.  Mirrors the reference's
 preprocessing and host unpadding is a single static-shape XLA program.
 """
 
+import logging
 from functools import partial
 
 import numpy as np
@@ -32,6 +33,8 @@ from objectdetection_3d_tpu.models.network import PointPillarsNet
 from objectdetection_3d_tpu.ops.boxes import limit_period
 from objectdetection_3d_tpu.ops.nms import multiclass_nms
 from objectdetection_3d_tpu.ops.voxelize import Voxelizer
+
+log = logging.getLogger(__name__)
 
 
 def _parse_remat(value):
@@ -146,10 +149,23 @@ class PointPillars(BaseModel):
         self.anchor_aabb = tuple(
             jnp.asarray(a) for a in _aabb_and_volume(self.anchors))
         # (cells x combos) factorization powering the exact containment
-        # fast path of target assignment (models/assign.py tier 1)
-        self.anchor_layout = tuple(
-            jnp.asarray(a) for a in make_anchor_layout(
-                anchors_np, self.num_anchors))
+        # fast path of target assignment (models/assign.py tier 1).  The
+        # factorization requires a regular grid (every cell repeats one
+        # combo set) — multi-range anchor configs with differing centers
+        # or per-range combo sets are legal for the generator but not
+        # factorable, so they fall back to the layout-free candidate
+        # assignment instead of crashing at model construction.
+        try:
+            self.anchor_layout = tuple(
+                jnp.asarray(a) for a in make_anchor_layout(
+                    anchors_np, self.num_anchors))
+        except AssertionError as e:
+            log.warning(
+                "anchor grid is not (cells x combos)-factorable (%s); "
+                "target assignment runs without the containment fast "
+                "path / exact anchor tier — expect lower positive recall "
+                "for GTs much larger than the anchors", e)
+            self.anchor_layout = None
         self.bbox_coder = BBoxCoder()
 
         self.net = PointPillarsNet(
@@ -244,11 +260,28 @@ class PointPillars(BaseModel):
                 and len(self.net.pfn_channels) == 1
                 and not self.net.sparse_middle)
 
-    def apply(self, variables, batch, train=False):
+    def _net_for(self, pallas="auto"):
+        """The network module to apply.  ``pallas="off"`` returns a clone
+        with every Pallas lowering disabled (identical parameters and
+        numerics, XLA-only program) — mesh-sharded callers need it
+        because GSPMD has no partitioning rule for Mosaic custom calls
+        (parallel/data_parallel.py)."""
+        if pallas != "off":
+            return self.net
+        if not hasattr(self, "_net_xla"):
+            self._net_xla = self.net.clone(
+                pallas_grid_scatter=False, zfold_pallas=False,
+                pallas_subm=False, fused_stages=False)
+        return self._net_xla
+
+    def apply(self, variables, batch, train=False, pallas="auto"):
         """Full forward: voxelize -> network.
 
         Returns ((cls, reg, dirs), new_batch_stats_or_None).
+        ``pallas="off"`` routes around every Pallas kernel (mesh-sharded
+        callers — see :meth:`_net_for`).
         """
+        net = self._net_for(pallas)
         if self._use_point_pfn:
             vox = jax.vmap(self.voxel_layer.points)(
                 batch["points"], batch["num_points"])
@@ -263,17 +296,18 @@ class PointPillars(BaseModel):
             net_args = (vox["voxels"], vox["num_points_per_voxel"],
                         vox["coords"], vox["voxel_mask"])
         if train:
-            outs, mut = self.net.apply(
+            outs, mut = net.apply(
                 variables, *net_args, train=True,
                 mutable=["batch_stats"], **kwargs)
             return outs, mut["batch_stats"]
-        outs = self.net.apply(variables, *net_args, train=False, **kwargs)
+        outs = net.apply(variables, *net_args, train=False, **kwargs)
         return outs, None
 
     # ------------------------------------------------------------------
     # loss
     # ------------------------------------------------------------------
-    def loss(self, results, inputs, anchors=None, anchor_aabb=None):
+    def loss(self, results, inputs, anchors=None, anchor_aabb=None,
+             pallas="auto"):
         """Training losses (reference model/PointPillars.py:147-226).
 
         Args:
@@ -308,7 +342,8 @@ class PointPillars(BaseModel):
                     self.tpu_cfg.get("assign_prefilter_block", 128)),
                 layout=self.anchor_layout,
                 exact_anchor_tier=bool(
-                    self.tpu_cfg.get("assign_exact_anchor_tier", True)))
+                    self.tpu_cfg.get("assign_exact_anchor_tier", True)),
+                pallas=pallas)
         )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
 
         # padded repeat items (short final batches) carry zero weight so
@@ -395,7 +430,7 @@ class PointPillars(BaseModel):
             tx = optax.chain(optax.clip(float(grad_clip_value)), tx)
         return tx
 
-    def train_step_fn(self, tx, out_constraint=None):
+    def train_step_fn(self, tx, out_constraint=None, pallas="auto"):
         """The un-jitted training step closure shared by every execution
         mode (single-chip jit, data-parallel mesh, 2-D data x space mesh —
         parallel/data_parallel.py jits this same function with sharding
@@ -408,6 +443,10 @@ class PointPillars(BaseModel):
                 outputs to sharding-constrained versions (spatial
                 partitioning hint; XLA propagates it backward through the
                 conv stack).
+            pallas: "off" routes forward + assignment around every
+                Pallas kernel — REQUIRED when this step is jitted over a
+                mesh (GSPMD cannot partition Mosaic custom calls;
+                parallel/data_parallel.py passes it).
         Returns:
             step(state, batch, anchors, anchor_aabb) -> (state, losses).
         """
@@ -423,10 +462,12 @@ class PointPillars(BaseModel):
             def loss_closure(params):
                 variables = {"params": params,
                              "batch_stats": state["batch_stats"]}
-                outs, new_bs = self.apply(variables, batch, train=True)
+                outs, new_bs = self.apply(variables, batch, train=True,
+                                          pallas=pallas)
                 if out_constraint is not None:
                     outs = out_constraint(outs)
-                losses = self.loss(outs, batch, anchors, anchor_aabb)
+                losses = self.loss(outs, batch, anchors, anchor_aabb,
+                                   pallas=pallas)
                 total = sum(losses.values())
                 return total, (losses, new_bs)
 
@@ -508,11 +549,11 @@ class PointPillars(BaseModel):
             "valid": sel_scores > 0,
         }
 
-    def predict(self, variables, batch, anchors=None):
+    def predict(self, variables, batch, anchors=None, pallas="auto"):
         """Batched jit-friendly inference: forward + decode + NMS."""
         if anchors is None:
             anchors = self.anchors
-        outs, _ = self.apply(variables, batch, train=False)
+        outs, _ = self.apply(variables, batch, train=False, pallas=pallas)
         cls, reg, dirs = outs
         return jax.vmap(self._predict_single,
                         in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
@@ -527,13 +568,16 @@ class PointPillars(BaseModel):
 
         return run
 
-    def eval_step_fn(self):
+    def eval_step_fn(self, pallas="auto"):
         """Un-jitted eval closure (losses + decoded detections), shared by
-        the single-chip and mesh-sharded eval paths."""
+        the single-chip and mesh-sharded eval paths (the latter pass
+        ``pallas="off"`` — GSPMD cannot partition Mosaic custom calls)."""
 
         def eval_step(variables, batch, anchors, anchor_aabb):
-            outs, _ = self.apply(variables, batch, train=False)
-            losses = self.loss(outs, batch, anchors, anchor_aabb)
+            outs, _ = self.apply(variables, batch, train=False,
+                                 pallas=pallas)
+            losses = self.loss(outs, batch, anchors, anchor_aabb,
+                               pallas=pallas)
             cls, reg, dirs = outs
             preds = jax.vmap(self._predict_single,
                              in_axes=(0, 0, 0, None))(cls, reg, dirs,

@@ -166,10 +166,19 @@ class PointPillarsNet(nn.Module):
                 bi, zi, yi, xi].set(1.0, mode="drop",
                                     unique_indices=True,
                                     indices_are_sorted=True)
-            if self.pallas_grid_scatter and jax.default_backend() == "tpu":
+            from objectdetection_3d_tpu.ops import grid_scatter
+
+            if (self.pallas_grid_scatter
+                    and jax.default_backend() == "tpu"
+                    and grid_scatter.supported(v, cf, (d, h, w),
+                                               feats.dtype)):
                 # one-write Pallas grid build; the voxelizer emits cells
                 # sorted in this grid's raster order, the kernel's
-                # contract (ops/grid_scatter.py)
+                # contract (ops/grid_scatter.py).  supported() gates the
+                # kernel's 8-row alignment + VMEM-budget preconditions
+                # (e.g. the shipped max_voxels_static: 400000 ceiling
+                # overflows the feats-in-VMEM design) — other shapes take
+                # the XLA scatter below, identical semantics.
                 from objectdetection_3d_tpu.ops.grid_scatter import (
                     scatter_to_grid)
 

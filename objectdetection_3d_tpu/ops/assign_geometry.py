@@ -37,6 +37,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 #: tiebreak weight (must match models/assign._TIEBREAK_EPS)
 _TIEBREAK_EPS = 1e-6
+
+
+def top3_merge(c1, g1, c2, g2, c3, g3, w, gw):
+    """Fold candidate (w, gw) into a running per-anchor top-3 by key.
+
+    Ties keep the incumbent (strict ``>``), so earlier-merged (lower-id)
+    GTs win equal keys.  The ONE shared implementation for both
+    assignment paths — the Pallas geometry kernel body and the XLA scan
+    in models/assign.py — so their tie ordering can never drift apart.
+    """
+    b1 = w > c1
+    n1 = jnp.where(b1, w, c1)
+    m1 = jnp.where(b1, gw, g1)
+    w2 = jnp.where(b1, c1, w)
+    gw2 = jnp.where(b1, g1, gw)
+    b2 = w2 > c2
+    n2 = jnp.where(b2, w2, c2)
+    m2 = jnp.where(b2, gw2, g2)
+    w3 = jnp.where(b2, c2, w2)
+    gw3 = jnp.where(b2, g2, gw2)
+    b3 = w3 > c3
+    n3 = jnp.where(b3, w3, c3)
+    m3 = jnp.where(b3, gw3, g3)
+    return n1, m1, n2, m2, n3, m3
 #: cells per kernel program (lane width); multiple of 128
 _TC = 1280
 
@@ -194,21 +218,12 @@ def _geometry_kernel(ftab_ref, gid_ref, hap_ref, hgp_ref, corr_ref,
         cb = jnp.where(better, gid, cb)
         mb = mb | maybe
 
-        # top-3 by key
-        b1 = key > v1
-        n1 = jnp.where(b1, key, v1)
-        m1 = jnp.where(b1, gid, a1)
-        w2 = jnp.where(b1, v1, key)
-        gw2 = jnp.where(b1, a1, gid)
-        b2 = w2 > v2
-        n2 = jnp.where(b2, w2, v2)
-        m2 = jnp.where(b2, gw2, a2)
-        w3 = jnp.where(b2, v2, w2)
-        gw3 = jnp.where(b2, a2, gw2)
-        b3 = w3 > v3
-        v3 = jnp.where(b3, w3, v3)
-        a3 = jnp.where(b3, gw3, a3)
-        v1, a1, v2, a2 = n1, m1, n2, m2
+        # top-3 by key (the one shared implementation — models/assign.py
+        # folds per-chunk candidates through the same function, and the
+        # tie ordering MUST stay identical between the XLA and Pallas
+        # assignment paths)
+        v1, a1, v2, a2, v3, a3 = top3_merge(
+            v1, a1, v2, a2, v3, a3, key, gid)
 
     cm_ref[...] = cm
     cb_ref[...] = cb

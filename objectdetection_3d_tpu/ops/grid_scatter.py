@@ -36,6 +36,35 @@ from jax.experimental.pallas import tpu as pltpu
 # keeping the bound-queries array tiny
 _CHUNKS = 4
 
+# scoped-VMEM budget requested from Mosaic (v5e has 128 MB VMEM)
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def supported(v, c, grid_dhw, dtype):
+    """Whether the kernel's preconditions hold for this problem size.
+
+    The kernel body requires 8-sublane alignment of every dynamic VMEM
+    access: the feature-row extraction reads aligned 8-row groups of the
+    (V, C) table (V % 8 == 0) and the insert RMWs an aligned 8-row block
+    of the chunk window (chunk % 8 == 0, or the last rows of a window
+    would read/write past the block).  The whole feats table also rides
+    in VMEM lane-padded to 128, which must fit the scoped-VMEM budget
+    alongside the double-buffered output windows — a config with a large
+    ``max_voxels_static`` (e.g. the shipped 400k ceiling) must take the
+    XLA scatter path instead.  Callers fall back when this returns False.
+    """
+    d, h, w = grid_dhw
+    hw = h * w
+    nq = _CHUNKS if hw % _CHUNKS == 0 else 1
+    chunk = hw // nq
+    if v % 8 != 0 or chunk % 8 != 0:
+        return False
+    lanes = -(-c // 128) * 128
+    itemsize = jnp.dtype(dtype).itemsize
+    feats_bytes = v * lanes * itemsize
+    window_bytes = 2 * chunk * lanes * itemsize  # double-buffered output
+    return feats_bytes + window_bytes <= int(_VMEM_LIMIT * 0.9)
+
 
 def _kernel(bounds_ref, cell_ref, feats_ref, grid_ref):
     """One program per (z, row-chunk): zero-fill + insert active rows.
@@ -72,6 +101,12 @@ def _kernel(bounds_ref, cell_ref, feats_ref, grid_ref):
 def _scatter_fwd_impl(feats, cell_flat, grid_dhw, interpret):
     d, h, w = grid_dhw
     v, c = feats.shape
+    if not supported(v, c, grid_dhw, feats.dtype):
+        raise ValueError(
+            f"scatter_to_grid preconditions violated for V={v}, C={c}, "
+            f"grid={grid_dhw}, dtype={feats.dtype} (8-row alignment or "
+            f"VMEM budget — see grid_scatter.supported); use the XLA "
+            f"scatter fallback")
     hw = h * w
     nq = _CHUNKS if hw % _CHUNKS == 0 else 1
     chunk = hw // nq
@@ -97,7 +132,7 @@ def _scatter_fwd_impl(feats, cell_flat, grid_dhw, interpret):
         # flagship V=102k) plus double-buffered output windows: raise the
         # scoped-VMEM cap from its 16 MB default (v5e has 128 MB VMEM)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(bounds, cell_flat, feats)
     return grid.reshape(d, h, w, c)

@@ -294,14 +294,17 @@ def _gathered_kernel(table_ref, ids_ref, b2_ref, out_ref):
     out_ref[0, :] = _gathered_iou(table_ref[...], ids_ref[0, :], f2)
 
 
-def intersection_volume_aligned(boxes1, boxes2):
+def intersection_volume_aligned(boxes1, boxes2, pallas="auto"):
     """Elementwise intersection volumes, backend-dispatched.
 
     Pallas kernel on TPU (9.6x the XLA clipper, measured on v5e); the
     XLA `intersection_volume_3d_aligned` elsewhere (CPU tests, dryrun).
-    Both run the identical clipping algorithm.
+    Both run the identical clipping algorithm.  ``pallas="off"`` forces
+    the XLA path even on TPU — required inside mesh-sharded (pjit)
+    programs, where GSPMD has no partitioning rule for Mosaic custom
+    calls and would replicate the full computation per chip.
     """
-    if jax.default_backend() == "tpu":
+    if pallas != "off" and jax.default_backend() == "tpu":
         return intersection_volume_aligned_pallas(boxes1, boxes2)
     from objectdetection_3d_tpu.ops.iou3d import (
         intersection_volume_3d_aligned,
@@ -352,7 +355,7 @@ def intersection_volume_aligned_pallas(boxes1, boxes2, interpret=False):
     return out[0, :p]
 
 
-def iou_gathered(table, valid, ids, boxes2):
+def iou_gathered(table, valid, ids, boxes2, pallas="auto"):
     """Masked IoU of ``(table[ids[p]], boxes2[p])`` pairs, dispatched.
 
     Pallas kernel with an in-kernel one-hot MXU gather on TPU (a plain
@@ -364,10 +367,12 @@ def iou_gathered(table, valid, ids, boxes2):
         valid: (G,) row validity (bool or float).
         ids: (P,) int32 table rows in [0, G).
         boxes2: (P, 9) aligned counterpart boxes.
+        pallas: "off" forces the XLA path even on TPU (mesh-sharded
+            callers — see :func:`intersection_volume_aligned`).
     Returns:
         (P,) float32 IoU; 0 wherever ``valid[ids[p]]`` is falsy.
     """
-    if jax.default_backend() == "tpu":
+    if pallas != "off" and jax.default_backend() == "tpu":
         return iou_gathered_pallas(table, valid, ids, boxes2)
     from objectdetection_3d_tpu.ops.iou3d import (
         intersection_volume_3d_aligned,
@@ -437,7 +442,7 @@ def _gathered_pair_kernel(table_ref, ids_ref, b2_ref, out_ref):
     out_ref[1, :] = iou_b
 
 
-def iou_gathered_pair(table, valid, ids_a, ids_b, boxes2):
+def iou_gathered_pair(table, valid, ids_a, ids_b, boxes2, pallas="auto"):
     """Masked IoUs of ``(table[ids_a[p]], boxes2[p])`` AND
     ``(table[ids_b[p]], boxes2[p])``, dispatched.
 
@@ -449,11 +454,11 @@ def iou_gathered_pair(table, valid, ids_a, ids_b, boxes2):
     Returns:
         ((P,), (P,)) float32 IoUs; 0 where the table row is invalid.
     """
-    if jax.default_backend() == "tpu":
+    if pallas != "off" and jax.default_backend() == "tpu":
         out = iou_gathered_pair_pallas(table, valid, ids_a, ids_b, boxes2)
         return out[0], out[1]
-    return (iou_gathered(table, valid, ids_a, boxes2),
-            iou_gathered(table, valid, ids_b, boxes2))
+    return (iou_gathered(table, valid, ids_a, boxes2, pallas=pallas),
+            iou_gathered(table, valid, ids_b, boxes2, pallas=pallas))
 
 
 @partial(jax.jit, static_argnames=("interpret",))

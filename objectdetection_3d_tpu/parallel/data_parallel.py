@@ -102,7 +102,13 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
                              f"{mesh.axis_names}")
         constraint = _space_constraint(mesh, axis_name, space_axis)
 
-    step = model.train_step_fn(tx, out_constraint=constraint)
+    # pallas="off": GSPMD has no partitioning rule for Mosaic custom
+    # calls — inside a mesh-jitted program they would be replicated per
+    # chip (full-size grid build / 1.9M-anchor assignment on EVERY
+    # device), defeating the sharding; the XLA formulations of the same
+    # math partition cleanly and are numerically identical
+    step = model.train_step_fn(tx, out_constraint=constraint,
+                               pallas="off")
     jitted = jax.jit(
         step,
         in_shardings=(repl, bsh, repl, repl),
@@ -135,7 +141,8 @@ def make_spatial_predict_fn(model, mesh, data_axis="data",
     def predict(variables, batch, anchors):
         # voxelization + PFN run data-parallel; the grid scatter + convs
         # run with H sharded over `space` from the output constraint below
-        outs, _ = model.apply(variables, batch, train=False)
+        # (pallas="off": Mosaic custom calls have no GSPMD rule)
+        outs, _ = model.apply(variables, batch, train=False, pallas="off")
         cls, reg, dirs = outs
         spec = PartitionSpec(data_axis, space_axis, None, None)
         cls = jax.lax.with_sharding_constraint(
@@ -162,7 +169,7 @@ def make_sharded_eval_fn(model, mesh, axis_name="data"):
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
 
-    jitted = jax.jit(model.eval_step_fn(),
+    jitted = jax.jit(model.eval_step_fn(pallas="off"),
                      in_shardings=(repl, bsh, repl, repl),
                      out_shardings=(repl, bsh))
 
@@ -179,7 +186,7 @@ def make_sharded_predict_fn(model, mesh, axis_name="data"):
     bsh = shard_batch(mesh, axis_name)
 
     def predict(variables, batch, anchors):
-        return model.predict(variables, batch, anchors)
+        return model.predict(variables, batch, anchors, pallas="off")
 
     jitted = jax.jit(predict, in_shardings=(repl, bsh, repl),
                      out_shardings=bsh)

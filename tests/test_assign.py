@@ -338,3 +338,39 @@ def test_blockwise_prefilter_matches_full():
         np.testing.assert_array_equal(np.asarray(full[key]),
                                       np.asarray(approx[key]),
                                       err_msg=f"approx:{key}")
+
+
+def test_padded_gt_chunks_match_unpadded():
+    """G not divisible by gt_chunk wraps padding rows onto real GTs;
+    those duplicates must be masked out of the per-anchor top-3 key
+    merge (a duplicated GT would otherwise occupy BOTH exact-tier
+    slots and the true second-best GT would never be exactly clipped).
+    The padded chunking must reproduce the unpadded assignment."""
+    rng = np.random.default_rng(21)
+    gen = Anchor3DRangeGenerator(
+        ranges=[[0, 0, 0, 8.0, 8.0, 4.0]],
+        sizes=[[0.8, 0.8, 2.5]],
+        rotations=[[0.0, 0.0, 0.0], [0.0, 0.0, 1.57]],
+    )
+    anchors = jnp.asarray(gen.flat_anchors((16, 16)))
+
+    g_valid = 7
+    gt = np.zeros((7, 9), np.float32)
+    # overlapping pairs so anchors genuinely have a 2nd-best GT
+    base = rng.uniform(2, 6, (4, 2))
+    jitter = np.concatenate([base, base[:3] + rng.uniform(0.2, 0.5, (3, 2))])
+    gt[:, :2] = jitter
+    gt[:, 3:6] = rng.uniform(0.7, 1.3, (7, 3)) * [1, 1, 2.5]
+    gt[:, 8] = rng.uniform(-np.pi, np.pi, 7)
+    gt_mask = np.ones(7, bool)
+    labels = np.zeros(7, np.int32)
+    args = (anchors, jnp.asarray(gt), jnp.asarray(labels),
+            jnp.asarray(gt_mask))
+    kw = dict(pos_thr=0.2, neg_thr=0.08, candidates_per_gt=128)
+
+    unpadded = assign_targets(*args, **kw, gt_chunk=7)   # 7 % 7 == 0
+    padded = assign_targets(*args, **kw, gt_chunk=3)     # 7 -> pad 2
+    for key in unpadded:
+        np.testing.assert_array_equal(np.asarray(unpadded[key]),
+                                      np.asarray(padded[key]),
+                                      err_msg=key)

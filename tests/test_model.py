@@ -165,6 +165,54 @@ def test_dense_backbone_path():
     assert np.all(np.isfinite(np.asarray(out["score"])))
 
 
+def test_multi_range_anchor_grid_still_factors():
+    """Two anchor ranges with different z produce alternating cell
+    groups — a VALID (cells x combos) factorization (both ranges share
+    one size/rotation combo set), so the layout fast path stays on."""
+    cfg = tiny_model_cfg()
+    cfg["head"]["ranges"] = [[0.0, 0.0, 0.0, 8.0, 8.0, 4.0],
+                             [0.0, 0.0, 1.0, 8.0, 8.0, 4.0]]
+    model = PointPillars(**cfg)
+    assert model.anchor_layout is not None
+    nc = model.anchor_layout[0].shape[0]
+    mc = model.anchor_layout[1].shape[0]
+    assert nc * mc == model.anchors.shape[0]
+
+
+def test_unfactorable_anchor_grid_degrades_gracefully(monkeypatch, caplog):
+    """When the anchor array cannot be (cells x combos) factored (the
+    factorization asserts on it), the model constructs with the layout
+    fast path disabled instead of crashing."""
+    import logging
+
+    from objectdetection_3d_tpu.models import anchors as anchors_mod
+    from objectdetection_3d_tpu.models.assign import assign_targets
+
+    orig = anchors_mod.Anchor3DRangeGenerator.flat_anchors
+
+    def scrambled(self, featmap_size):
+        a = orig(self, featmap_size).copy()
+        a[0, 3] += 0.123  # one anchor's size diverges from its combo set
+        return a
+
+    monkeypatch.setattr(anchors_mod.Anchor3DRangeGenerator,
+                        "flat_anchors", scrambled)
+    with caplog.at_level(logging.WARNING):
+        model = PointPillars(**tiny_model_cfg())
+    assert model.anchor_layout is None
+    assert any("factorable" in r.message for r in caplog.records)
+    # the layout-free candidate assignment still runs on these anchors
+    g = 4
+    out = assign_targets(
+        model.anchors, jnp.zeros((g, 9)).at[0].set(
+            jnp.array([4.0, 4.0, 0.2, 0.8, 0.8, 2.5, 0, 0, 0])),
+        jnp.zeros((g,), jnp.int32),
+        jnp.zeros((g,), bool).at[0].set(True),
+        pos_thr=0.2, neg_thr=0.08, candidates_per_gt=64,
+        layout=None, exact_anchor_tier=False)
+    assert int(out["num_pos"]) > 0
+
+
 def test_train_step_with_device_augment():
     cfg = tiny_model_cfg()
     cfg["device_augment"] = {"rotate": {"min": 0.0, "max": 6.283},
@@ -251,3 +299,27 @@ def test_remat_config_validation():
     cfg["tpu"]["remat"] = "encoder"  # not a valid stage name
     with pytest.raises(ValueError, match="remat"):
         PointPillars(**cfg)
+
+
+def test_pallas_off_routing_matches(model_and_vars):
+    """pallas="off" (the mesh-sharded execution mode — GSPMD cannot
+    partition Mosaic custom calls) routes forward + loss through the
+    XLA formulations with identical parameters and numerics."""
+    model, variables = model_and_vars
+    net_off = model._net_for("off")
+    assert not net_off.pallas_grid_scatter
+    assert not net_off.zfold_pallas and not net_off.pallas_subm
+    assert not net_off.fused_stages
+    assert model._net_for("auto") is model.net
+
+    batch = to_device(tiny_batch(batch_size=1))
+    outs_auto, _ = model.apply(variables, batch, train=False)
+    outs_off, _ = model.apply(variables, batch, train=False, pallas="off")
+    for a, b in zip(outs_auto, outs_off):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)
+    l_auto = model.loss(outs_auto, batch)
+    l_off = model.loss(outs_off, batch, pallas="off")
+    for k in l_auto:
+        np.testing.assert_allclose(float(l_auto[k]), float(l_off[k]),
+                                   rtol=1e-6)

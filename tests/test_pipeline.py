@@ -125,9 +125,17 @@ def test_training_artifacts(trained_run):
     assert {"epoch", "precision", "recall", "f1"} <= set(record.columns)
     logs = [f for f in os.listdir(log_dir) if f.startswith("log_train_")]
     assert logs
-    # optional TensorBoard scalar stream (pipeline: tensorboard: true)
+    # optional TensorBoard scalar stream (pipeline: tensorboard: true);
+    # the logger degrades silently when torch.utils.tensorboard is
+    # absent, so only assert where the dependency exists
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+        has_tb = True
+    except ImportError:
+        has_tb = False
     tb_dir = os.path.join(log_dir, "tb")
-    assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
+    if has_tb:
+        assert os.path.isdir(tb_dir) and os.listdir(tb_dir)
 
 
 def test_losses_recorded_finite(trained_run):

@@ -21,6 +21,7 @@ import pathlib
 import shutil
 import subprocess
 import sys
+import zlib
 
 import numpy as np
 import yaml
@@ -62,7 +63,7 @@ def write_scene(directory, name, seed, n_trees=25, n_noise=40_000):
             + np.array([500, 500, 100, 0, 0, 0, 0, 0, 0], np.float32))
 
 
-def make_config(root):
+def make_config(root, overfit=False):
     cfg = yaml.safe_load((REPO / "config.yaml").read_text())
     cfg["global_args"]["output_path"] = str(root / "output") + "/"
     cfg["dataset"]["dataset_path"] = str(root / "data") + "/"
@@ -70,6 +71,15 @@ def make_config(root):
     cfg["tpu"]["max_voxels_static"] = 102_400
     cfg["pipeline"].update(max_epoch=2, save_ckpt_freq=1, num_workers=2,
                            validation_freq=1)
+    if overfit:
+        # learn ONE scene until validation F1 moves off 0: proves the
+        # whole CLI stack trains for real (best-ckpt + metrics.npy
+        # written live), not just that the plumbing runs
+        cfg["pipeline"].update(max_epoch=60, save_ckpt_freq=20,
+                               validation_freq=5)
+        cfg["pipeline"]["optimizer"]["lr"] = 3e-3
+        cfg["model"]["head"]["score_thr"] = 0.05
+        cfg["model"]["augment"] = {"PointShuffle": True}
     (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
 
 
@@ -84,16 +94,28 @@ def run(script, cwd):
 
 
 def main():
-    root = pathlib.Path(sys.argv[1] if len(sys.argv) > 1
-                        else "/tmp/e2e_rehearsal")
+    args = [a for a in sys.argv[1:] if a != "--overfit"]
+    overfit = "--overfit" in sys.argv[1:]
+    root = pathlib.Path(args[0] if args else "/tmp/e2e_rehearsal")
     if root.exists():
         shutil.rmtree(root)
-    for split, n in (("training", 6), ("validation", 2), ("testing", 2)):
-        d = root / "data" / split
-        d.mkdir(parents=True)
-        for i in range(n):
-            write_scene(d, f"{split}_{i}", seed=hash(split) % 997 + i)
-    make_config(root)
+    if overfit:
+        # one scene shared by all three splits
+        for split in ("training", "validation", "testing"):
+            d = root / "data" / split
+            d.mkdir(parents=True)
+            write_scene(d, f"{split}_0", seed=7)
+    else:
+        for split, n in (("training", 6), ("validation", 2),
+                         ("testing", 2)):
+            d = root / "data" / split
+            d.mkdir(parents=True)
+            for i in range(n):
+                # crc32, not hash(): Python string hashes are salted per
+                # process, which would make every rehearsal irreproducible
+                seed = zlib.crc32(split.encode()) % 997 + i
+                write_scene(d, f"{split}_{i}", seed=seed)
+    make_config(root, overfit=overfit)
 
     run("run_training.py", root)
 
@@ -126,6 +148,13 @@ def main():
         raise SystemExit("artifact audit failed")
     if bool(has_best) != bool(has_metrics):
         raise SystemExit("best-ckpt/metrics.npy pairing broken")
+    protocol = yaml.safe_load(protocols[0].read_text())
+    print(f"test F1: {protocol.get('6_f1')}", flush=True)
+    if overfit:
+        if not (has_best and has_metrics):
+            raise SystemExit("overfit run never improved validation F1")
+        if not (protocol.get("6_f1") or 0) > 0:
+            raise SystemExit("overfit run tested at F1 == 0")
     print("E2E REHEARSAL OK", flush=True)
 
 
