@@ -74,10 +74,15 @@ def make_config(root, overfit=False):
     if overfit:
         # learn ONE scene until validation F1 moves off 0: proves the
         # whole CLI stack trains for real (best-ckpt + metrics.npy
-        # written live), not just that the plumbing runs
-        cfg["pipeline"].update(max_epoch=60, save_ckpt_freq=20,
-                               validation_freq=5)
-        cfg["pipeline"]["optimizer"]["lr"] = 3e-3
+        # written live), not just that the plumbing runs.  Step count /
+        # lr sized from tests/test_overfit.py (400 steps at 5e-3 reach
+        # recall >= 80 at tiny scale); measured at flagship scale:
+        # F1 still 0 at step 50, off 0 by step ~75, so 200 steps clear
+        # the >0 gate within the script timeout (~10 s/step wall on the
+        # 1-vCPU host).
+        cfg["pipeline"].update(max_epoch=200, save_ckpt_freq=50,
+                               validation_freq=25)
+        cfg["pipeline"]["optimizer"]["lr"] = 5e-3
         cfg["model"]["head"]["score_thr"] = 0.05
         cfg["model"]["augment"] = {"PointShuffle": True}
     (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
@@ -86,7 +91,7 @@ def make_config(root, overfit=False):
 def run(script, cwd):
     print(f"--- {script} ---", flush=True)
     proc = subprocess.run([sys.executable, str(REPO / script)], cwd=cwd,
-                          capture_output=True, text=True, timeout=3600)
+                          capture_output=True, text=True, timeout=5400)
     sys.stdout.write(proc.stdout[-3000:])
     sys.stderr.write(proc.stderr[-5000:])
     if proc.returncode != 0:
