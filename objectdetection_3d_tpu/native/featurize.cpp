@@ -5,10 +5,14 @@
 // compute_fpfh_feature, ~60 s for 15M points per its own comment at
 // model/utils.py:82).  This translation unit is our own native
 // implementation so the offline tooling neither depends on open3d nor
-// on the slow numpy fallback: a uniform-grid neighbor index (cell edge
-// = search radius, 27-cell probes), radius-bounded kNN identical in
-// semantics to scipy cKDTree's (k nearest with distance <= radius,
-// self-inclusive), PCA normals via a Jacobi 3x3 symmetric eigensolver,
+// on the slow numpy fallback: a uniform-grid neighbor index with an
+// adaptive cell edge (~2 expected points per cell), ring-expanding
+// bounded-heap kNN whose kth-best distance prunes both the ring sweep
+// and each column's z-window (the fixed 27-cell full-radius probe
+// scanned ~6x the sphere volume and lost to scipy's kd-tree at forest
+// densities), radius-bounded kNN identical in semantics to scipy
+// cKDTree's (k nearest with distance <= radius, self-inclusive), PCA
+// normals via a Jacobi 3x3 symmetric eigensolver,
 // and the simplified-PFH histograms + distance-weighted FPFH combine
 // matching models/preprocess_tools.py bit-for-bit in structure (all
 // accumulation in double).
@@ -54,24 +58,29 @@ void parallel_for(int64_t n, F&& body) {
   for (auto& th : pool) th.join();
 }
 
-// Uniform-grid neighbor index (cell edge = search radius): counting
-// sort buckets the point ids by flat cell key, and the xyz coordinates
-// are REORDERED into bucket order so a 27-cell probe scans 27
-// contiguous ranges (the binary-search formulation was memory-latency
-// bound: 27 searches x ~24 random cache lines per query).  Queries are
-// issued in bucket order too, so consecutive queries touch the same
-// neighbor cells while they are cache-hot.
+// Uniform-grid neighbor index: counting sort buckets the point ids by
+// flat cell key, and the xyz coordinates are REORDERED into bucket
+// order so a column probe scans one contiguous range (the binary-
+// search formulation was memory-latency bound: 27 searches x ~24
+// random cache lines per query).  Queries are issued in bucket order
+// too, so consecutive queries touch the same neighbor cells while
+// they are cache-hot.  The cell edge adapts to the cloud's density
+// (~2 expected points per cell, clamped to [radius/8, radius] and to
+// the bucket-table memory cap) so the kNN query below can prune by
+// its current kth-best distance instead of scanning the full radius.
 struct Grid {
   double cell;
   double mn[3];
   int64_t dims[3];
+  double radius = 0, r2 = 0;
   int64_t ncells = 0;
   std::vector<int64_t> starts;     // (ncells + 1) bucket offsets
   std::vector<int32_t> ids;        // original id per sorted slot
   std::vector<double> sorted_xyz;  // (n, 3) coords in bucket order
 
-  bool build(const double* pts, int64_t n, double radius) {
-    cell = radius;
+  bool build(const double* pts, int64_t n, double radius_) {
+    radius = radius_;
+    r2 = radius * radius;
     double mx[3];
     for (int k = 0; k < 3; ++k) mn[k] = mx[k] = pts[k];
     for (int64_t i = 1; i < n; ++i)
@@ -80,16 +89,29 @@ struct Grid {
         if (v < mn[k]) mn[k] = v;
         if (v > mx[k]) mx[k] = v;
       }
-    double prod = 1;
-    for (int k = 0; k < 3; ++k) {
-      dims[k] = static_cast<int64_t>((mx[k] - mn[k]) / cell) + 1;
-      prod *= static_cast<double>(dims[k]);
-    }
+    double vol = 1;
+    for (int k = 0; k < 3; ++k)
+      vol *= std::max(mx[k] - mn[k], 1e-9);
+    cell = std::cbrt(vol / static_cast<double>(n) * 2.0);
+    if (cell < radius / 8) cell = radius / 8;
+    if (cell > radius) cell = radius;
     // bucket-offset memory: bound the cell table to ~16 bytes/point or
-    // 256M cells, whichever is larger (degenerate radii fall back to
-    // the numpy path rather than exhausting memory)
+    // 256M cells, whichever is larger; grow the cell (coarser grid,
+    // still correct — the ring sweep just covers fewer, fuller cells)
+    // until the table fits, falling back to numpy only if even one
+    // cell per axis would not fit
     double cap = std::max(2.0 * static_cast<double>(n), 2.68e8);
-    if (!(prod < cap)) return false;
+    double prod;
+    for (int attempt = 0;; ++attempt) {
+      prod = 1;
+      for (int k = 0; k < 3; ++k) {
+        dims[k] = static_cast<int64_t>((mx[k] - mn[k]) / cell) + 1;
+        prod *= static_cast<double>(dims[k]);
+      }
+      if (prod < cap) break;
+      if (attempt >= 64) return false;
+      cell *= std::cbrt(prod / cap) * 1.05;
+    }
     ncells = dims[0] * dims[1] * dims[2];
 
     std::vector<int64_t> keys(n);
@@ -118,47 +140,97 @@ struct Grid {
     return (cx * dims[1] + cy) * dims[2] + cz;
   }
 
-  // Collect points with ||p - q|| <= radius into `out` as
-  // (squared distance, original id); self-inclusive.
-  void radius_candidates(const double* q,
-                         std::vector<std::pair<double, int32_t>>& out)
+  // Scan one (x, y) column's z-window against the current heap bound.
+  // The z-run is contiguous in the flat key: ONE range scan.
+  inline void scan_column(const double* q, int64_t k, int64_t x,
+                          int64_t y, double bxy2, double& bound,
+                          std::vector<std::pair<double, int32_t>>& heap)
       const {
-    out.clear();
-    double r2 = cell * cell;
-    int64_t cx = static_cast<int64_t>((q[0] - mn[0]) / cell);
-    int64_t cy = static_cast<int64_t>((q[1] - mn[1]) / cell);
-    int64_t cz = static_cast<int64_t>((q[2] - mn[2]) / cell);
-    int64_t z0 = std::max<int64_t>(cz - 1, 0);
-    int64_t z1 = std::min<int64_t>(cz + 1, dims[2] - 1);
-    for (int64_t x = std::max<int64_t>(cx - 1, 0);
-         x <= std::min<int64_t>(cx + 1, dims[0] - 1); ++x) {
-      for (int64_t y = std::max<int64_t>(cy - 1, 0);
-           y <= std::min<int64_t>(cy + 1, dims[1] - 1); ++y) {
-        // the z-run of <=3 cells is contiguous in the flat key: scan
-        // it as ONE range
-        int64_t key0 = (x * dims[1] + y) * dims[2] + z0;
-        int64_t lo = starts[key0];
-        int64_t hi = starts[key0 + (z1 - z0) + 1];
-        for (int64_t s = lo; s < hi; ++s) {
-          const double* p = sorted_xyz.data() + s * 3;
-          double ddx = p[0] - q[0], ddy = p[1] - q[1], ddz = p[2] - q[2];
-          double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-          if (d2 <= r2) out.emplace_back(d2, ids[s]);
-        }
+    double bz = std::sqrt(bound - bxy2);
+    int64_t z0 = static_cast<int64_t>((q[2] - bz - mn[2]) / cell);
+    int64_t z1 = static_cast<int64_t>((q[2] + bz - mn[2]) / cell);
+    if (z0 < 0) z0 = 0;
+    if (z1 > dims[2] - 1) z1 = dims[2] - 1;
+    if (z0 > z1) return;
+    int64_t key0 = (x * dims[1] + y) * dims[2] + z0;
+    int64_t lo = starts[key0];
+    int64_t hi = starts[key0 + (z1 - z0) + 1];
+    for (int64_t s = lo; s < hi; ++s) {
+      const double* p = sorted_xyz.data() + s * 3;
+      double ddx = p[0] - q[0], ddy = p[1] - q[1], ddz = p[2] - q[2];
+      double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+      if (d2 >= bound) continue;
+      if (static_cast<int64_t>(heap.size()) < k) {
+        heap.emplace_back(d2, ids[s]);
+        std::push_heap(heap.begin(), heap.end());
+        if (static_cast<int64_t>(heap.size()) == k)
+          bound = heap.front().first;
+      } else {
+        std::pop_heap(heap.begin(), heap.end());
+        heap.back() = {d2, ids[s]};
+        std::push_heap(heap.begin(), heap.end());
+        bound = heap.front().first;
       }
     }
   }
-};
 
-// Keep the k nearest candidates (scipy cKDTree query semantics:
-// k nearest among those within the radius).
-void keep_k_nearest(std::vector<std::pair<double, int32_t>>& cand,
-                    int64_t k) {
-  if (static_cast<int64_t>(cand.size()) > k) {
-    std::nth_element(cand.begin(), cand.begin() + k, cand.end());
-    cand.resize(k);
+  // Box distance from q (inside column cx) to column index x along one
+  // axis; 0 for the query's own column.
+  inline double axis_box_dist(double qv, double mnv, int64_t x,
+                              int64_t cx) const {
+    if (x == cx) return 0;
+    if (x < cx) return qv - (mnv + static_cast<double>(x + 1) * cell);
+    return (mnv + static_cast<double>(x) * cell) - qv;
   }
-}
+
+  // The k nearest points with ||p - q|| <= radius (self-inclusive),
+  // written into `heap` as (squared distance, original id), unordered.
+  // scipy cKDTree query semantics.  (x, y) columns are visited in
+  // expanding Chebyshev rings; ring s's nearest face is >= (s-1)*cell
+  // away, so the sweep stops as soon as the heap's kth-best distance
+  // (or the radius, while unfilled) falls inside ring s-1 — at forest
+  // densities this touches a few rings instead of the full ball.
+  void knn(const double* q, int64_t k,
+           std::vector<std::pair<double, int32_t>>& heap) const {
+    heap.clear();
+    double bound = r2 * (1 + 1e-12) + 1e-300;  // d2 <= r2 inclusive
+    int64_t cx = static_cast<int64_t>((q[0] - mn[0]) / cell);
+    int64_t cy = static_cast<int64_t>((q[1] - mn[1]) / cell);
+    int64_t smax = static_cast<int64_t>(radius / cell) + 2;
+    for (int64_t s = 0; s <= smax; ++s) {
+      if (s >= 1) {
+        double ring_min = static_cast<double>(s - 1) * cell;
+        if (ring_min * ring_min > bound) break;
+      }
+      int64_t xlo = std::max<int64_t>(cx - s, 0);
+      int64_t xhi = std::min<int64_t>(cx + s, dims[0] - 1);
+      int64_t ylo = std::max<int64_t>(cy - s, 0);
+      int64_t yhi = std::min<int64_t>(cy + s, dims[1] - 1);
+      auto column = [&](int64_t x, int64_t y) {
+        double bx = axis_box_dist(q[0], mn[0], x, cx);
+        double by = axis_box_dist(q[1], mn[1], y, cy);
+        double bxy2 = bx * bx + by * by;
+        if (bxy2 <= bound) scan_column(q, k, x, y, bxy2, bound, heap);
+      };
+      if (s == 0) {
+        if (cx >= 0 && cx < dims[0] && cy >= 0 && cy < dims[1])
+          column(cx, cy);
+        continue;
+      }
+      // ring s = the square's four edges, each column exactly once
+      if (cy - s >= 0)
+        for (int64_t x = xlo; x <= xhi; ++x) column(x, cy - s);
+      if (cy + s <= dims[1] - 1)
+        for (int64_t x = xlo; x <= xhi; ++x) column(x, cy + s);
+      int64_t ylo_i = std::max<int64_t>(cy - s + 1, 0);
+      int64_t yhi_i = std::min<int64_t>(cy + s - 1, dims[1] - 1);
+      if (cx - s >= 0)
+        for (int64_t y = ylo_i; y <= yhi_i; ++y) column(cx - s, y);
+      if (cx + s <= dims[0] - 1)
+        for (int64_t y = ylo_i; y <= yhi_i; ++y) column(cx + s, y);
+    }
+  }
+};
 
 // Jacobi eigensolver for a symmetric 3x3; writes the unit eigenvector
 // of the smallest eigenvalue.
@@ -244,8 +316,7 @@ int64_t featurize_cloud(const double* pts, int64_t n,
     parallel_for(n, [&](int64_t s) {
       int64_t i = grid.ids[s];  // query in bucket order: cache-hot cells
       thread_local std::vector<std::pair<double, int32_t>> cand;
-      grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
-      keep_k_nearest(cand, normal_max_nn);
+      grid.knn(grid.sorted_xyz.data() + s * 3, normal_max_nn, cand);
       double cnt = std::max<double>(cand.size(), 1.0);
       double mean[3] = {0, 0, 0};
       for (auto& c : cand)
@@ -278,6 +349,18 @@ int64_t featurize_cloud(const double* pts, int64_t n,
   std::vector<float> spfh(static_cast<size_t>(n) * 3 * kBins, 0.0f);
   const double pi = 3.14159265358979323846;
 
+  // The SPFH and combine passes need the SAME neighbor sets; cache
+  // them from the first pass when the table stays small (<= 256 MB)
+  // so the combine pass is a pure read instead of a second kNN sweep.
+  bool cache_ok = n * fpfh_max_nn <= static_cast<int64_t>(32) << 20;
+  std::vector<float> nbr_d2;
+  std::vector<int32_t> nbr_id, nbr_cnt;
+  if (cache_ok) {
+    nbr_d2.resize(static_cast<size_t>(n) * fpfh_max_nn);
+    nbr_id.resize(static_cast<size_t>(n) * fpfh_max_nn);
+    nbr_cnt.assign(n, 0);
+  }
+
   auto darboux_bins = [&](int64_t i, int32_t j, int* b3) {
     const double* p1 = pts + i * 3;
     const double* p2 = pts + j * 3;
@@ -307,8 +390,14 @@ int64_t featurize_cloud(const double* pts, int64_t n,
   parallel_for(n, [&](int64_t s) {
     int64_t i = grid.ids[s];
     thread_local std::vector<std::pair<double, int32_t>> cand;
-    grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
-    keep_k_nearest(cand, fpfh_max_nn);
+    grid.knn(grid.sorted_xyz.data() + s * 3, fpfh_max_nn, cand);
+    if (cache_ok) {
+      nbr_cnt[i] = static_cast<int32_t>(cand.size());
+      for (size_t c = 0; c < cand.size(); ++c) {
+        nbr_d2[i * fpfh_max_nn + c] = static_cast<float>(cand[c].first);
+        nbr_id[i * fpfh_max_nn + c] = cand[c].second;
+      }
+    }
     float* h = spfh.data() + i * 3 * kBins;
     int64_t cnt = 0;
     for (auto& c : cand) {
@@ -329,8 +418,14 @@ int64_t featurize_cloud(const double* pts, int64_t n,
   parallel_for(n, [&](int64_t s) {
     int64_t i = grid.ids[s];
     thread_local std::vector<std::pair<double, int32_t>> cand;
-    grid.radius_candidates(grid.sorted_xyz.data() + s * 3, cand);
-    keep_k_nearest(cand, fpfh_max_nn);
+    if (cache_ok) {
+      cand.clear();
+      for (int32_t c = 0; c < nbr_cnt[i]; ++c)
+        cand.emplace_back(nbr_d2[i * fpfh_max_nn + c],
+                          nbr_id[i * fpfh_max_nn + c]);
+    } else {
+      grid.knn(grid.sorted_xyz.data() + s * 3, fpfh_max_nn, cand);
+    }
     double acc[3 * kBins] = {0};
     int64_t k_valid = 0;
     for (auto& c : cand) {

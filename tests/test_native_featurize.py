@@ -106,14 +106,25 @@ def test_isolated_points_do_not_crash():
 
 
 def test_native_faster_than_numpy():
+    """Best-of-3 with warmup: single-shot wall timings on the shared
+    1-vCPU CI host jitter past the ~15% native/numpy gap at this size
+    (observed one-off 0.85 vs 0.74 s inversion under suite load)."""
     import time
 
     pts = _cloud(n=20_000, seed=4)
-    t0 = time.time()
-    native.featurize_cloud(pts, 0.3, 16, 0.5, 24)
-    t_native = time.time() - t0
-    t0 = time.time()
-    normals = estimate_normals(pts, 0.3, 16)
-    compute_fpfh(pts, normals, 0.5, 24)
-    t_numpy = time.time() - t0
-    assert t_native < t_numpy, (t_native, t_numpy)
+
+    def t_native():
+        t0 = time.time()
+        native.featurize_cloud(pts, 0.3, 16, 0.5, 24)
+        return time.time() - t0
+
+    def t_numpy():
+        t0 = time.time()
+        normals = estimate_normals(pts, 0.3, 16)
+        compute_fpfh(pts, normals, 0.5, 24)
+        return time.time() - t0
+
+    t_native(), t_numpy()  # warm (dlopen, allocator, caches)
+    best_native = min(t_native() for _ in range(3))
+    best_numpy = min(t_numpy() for _ in range(3))
+    assert best_native < best_numpy, (best_native, best_numpy)
