@@ -147,12 +147,37 @@ def main():
           f"{dt_stream * 1000:.1f} ms/cloud "
           f"({clouds_per_sec:.2f} clouds/s)", file=sys.stderr)
 
+    # --- large-scene tiled inference (BASELINE.json config #5) --------
+    # 160x160 m scene, 2M points: sliding the 40x40 m model window with
+    # 5 m overlap => 25 tiles through the SAME compiled predict program,
+    # then one global NMS merge.  The reference simply crops scenes to
+    # the model range (model/PointPillars.py:251-255).
+    from objectdetection_3d_tpu.pipeline.tiled_inference import (
+        TiledInference)
+
+    rng = np.random.default_rng(0)
+    n_scene = 2_000_000
+    scene = np.concatenate(
+        [rng.uniform([0, 0, 0], [160, 160, 25], (n_scene, 3)),
+         rng.uniform(0, 1, (n_scene, 1))], axis=1).astype(np.float32)
+    tiled = TiledInference(model, pvars, overlap=5.0, batch_tiles=1,
+                           predict_fn=predict)
+    tiled(scene)  # warm (merge program compile)
+    t0 = time.time()
+    dets = tiled(scene)
+    dt_tiled = time.time() - t0
+    print(f"tiled 160x160 m scene (2M pts, 25 tiles + global NMS "
+          f"merge): {dt_tiled:.2f} s/scene "
+          f"({n_scene / dt_tiled / 1e6:.2f} Mpts/s), "
+          f"{len(dets)} detections", file=sys.stderr)
+
     print(json.dumps({
         "metric": "end-to-end inference point clouds/sec/chip "
                   "(100k-pt cloud, 400x400x100 grid, decode+NMS, "
                   "8-cloud pipelined stream)",
         "value": round(clouds_per_sec, 3),
         "unit": "clouds/s",
+        "tiled_scene_s": round(dt_tiled, 3),
         "vs_baseline": round(
             clouds_per_sec / REFERENCE_E2E_CLOUDS_PER_SEC_EST, 3),
         "train_step_s": round(dt_train, 3),

@@ -309,11 +309,13 @@ class ObjectDetection(BasePipeline):
         return prediction[0]
 
     def _draw(self, data, prediction):
-        """Open3D viewer with red predictions / green GT, if available."""
+        """Open3D viewer with red predictions / green GT, if available;
+        headless matplotlib PNG in the run directory otherwise."""
         try:
             import open3d as o3d
         except ImportError:
-            log.info("open3d not available; skipping visualization")
+            log.info("open3d not available; rendering matplotlib PNG")
+            self._draw_matplotlib(data, prediction)
             return
 
         from objectdetection_3d_tpu.augment.numpy_ops import (
@@ -341,6 +343,57 @@ class ObjectDetection(BasePipeline):
             geometries.append(o3box)
 
         o3d.visualization.draw_geometries(geometries)
+
+    def _draw_matplotlib(self, data, prediction, max_points=60_000):
+        """Headless fallback for the reference's open3d viewer
+        (reference pipeline/pipeline.py:199-229): cloud + red predicted
+        / green GT wireframes, saved as a PNG next to the run logs."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from objectdetection_3d_tpu.augment.numpy_ops import (
+            bbox2corners3D_np)
+
+        pts = np.asarray(data["point"])[:, :3]
+        if len(pts) > max_points:
+            sel = np.random.default_rng(0).choice(len(pts), max_points,
+                                                  replace=False)
+            pts = pts[sel]
+
+        fig = plt.figure(figsize=(10, 10))
+        ax = fig.add_subplot(projection="3d")
+        ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=0.3, c=pts[:, 2],
+                   cmap="viridis", alpha=0.5, linewidths=0)
+
+        # bottom ring, top ring, verticals of the 8-corner ordering
+        edges = [(0, 1), (1, 2), (2, 3), (3, 0),
+                 (4, 5), (5, 6), (6, 7), (7, 4),
+                 (0, 4), (1, 5), (2, 6), (3, 7)]
+
+        def wires(box, color):
+            c = bbox2corners3D_np(np.asarray(box, np.float64))
+            for a, b in edges:
+                ax.plot(*zip(c[a], c[b]), color=color, linewidth=1.2)
+
+        for box in np.asarray(prediction["bbox"]):
+            box = np.array(box, np.float64).copy()
+            box[2] -= box[5] / 2  # decode emits z at CENTER; wires want bottom
+            wires(box, "red")
+        for box in np.asarray(data["bboxes"]):
+            wires(box, "green")  # GT z is at the bottom already
+
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.set_zlabel("z [m]")
+        ax.set_title("red = predicted, green = ground truth")
+        out = join(self.cfg.log_dir,
+                   "show_inference_{}.png".format(
+                       datetime.now().strftime("%Y-%m-%d_%H:%M:%S")))
+        fig.savefig(out, dpi=130, bbox_inches="tight")
+        plt.close(fig)
+        log.info("visualization written to %s", out)
+        print(f"visualization written to {out}")
 
     # ------------------------------------------------------------------
     # evaluation loops

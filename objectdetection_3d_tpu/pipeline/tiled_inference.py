@@ -91,6 +91,12 @@ class TiledInference:
         tiles = [(x0, y0) for x0 in xs for y0 in ys]
         all_boxes, all_scores, all_labels = [], [], []
 
+        # Enqueue every tile's predict before reading ANY result back:
+        # jax dispatch is async, so the device works on tile t while the
+        # host crops tile t+1, and the per-tile readback RPCs (~27 ms
+        # each on the tunnel) coalesce at the drain instead of
+        # serializing with compute.
+        pending = []
         for i in range(0, len(tiles), self.batch_tiles):
             chunk = tiles[i:i + self.batch_tiles]
             pad = self.batch_tiles - len(chunk)
@@ -100,13 +106,15 @@ class TiledInference:
                                   points.shape[1]), np.float32)
             batch_n = np.zeros((self.batch_tiles,), np.int32)
             for j, (x0, y0) in enumerate(chunk):
+                # select in scene frame first: copying the full (N, C)
+                # cloud per tile cost O(tiles * N * C) host time on
+                # multi-million-point scenes
                 shift = np.array([x0, y0, lo[2]], np.float32)
-                local = points.copy()
+                xyz = points[:, :3]
+                sel = np.all((xyz >= pcr[:3] + shift)
+                             & (xyz < pcr[3:] + shift), axis=1)
+                local = points[sel]
                 local[:, :3] -= shift
-                sel = np.all(
-                    (local[:, :3] >= pcr[:3]) & (local[:, :3] < pcr[3:]),
-                    axis=1)
-                local = local[sel]
                 if local.shape[0] > max_pts:
                     idx = np.random.default_rng(0).choice(
                         local.shape[0], max_pts, replace=False)
@@ -123,6 +131,9 @@ class TiledInference:
                 "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
             }
             preds = self._predict(self.variables, batch)
+            pending.append((chunk, pad, preds))
+
+        for chunk, pad, preds in pending:
             bbox = np.asarray(preds["bbox"])
             score = np.asarray(preds["score"])
             label = np.asarray(preds["label"])

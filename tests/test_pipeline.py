@@ -297,3 +297,37 @@ def test_preemption_checkpoints_and_stops(workspace, tmp_path):
     assert len(record) < 30, "training should have stopped early"
     ckpts = os.listdir(os.path.join(pipeline.cfg.log_dir, "checkpoint"))
     assert any(c.startswith("ckpt_") for c in ckpts)
+
+
+def test_show_inference_writes_png(trained_run):
+    """show_inference (reference pipeline/pipeline.py:160-229) prints the
+    one-cloud metric block and — without open3d in the image — renders
+    the red-pred/green-GT wireframe view as a PNG in the run dir."""
+    import glob
+
+    workspace, train_pipeline, _ = trained_run
+    log_dir = train_pipeline.cfg.log_dir
+    ckpt_dir = os.path.join(log_dir, "checkpoint")
+    if not os.path.exists(os.path.join(ckpt_dir, "ckpt_best.pkl")):
+        import shutil
+        periodic = sorted(os.listdir(ckpt_dir))[0]
+        shutil.copy(os.path.join(ckpt_dir, periodic),
+                    os.path.join(ckpt_dir, "ckpt_best.pkl"))
+
+    version = os.path.basename(os.path.dirname(os.path.dirname(
+        log_dir.rstrip("/") + "/")))
+    cfg = make_cfg(workspace, inference_mode=True, resume_from=version)
+    global_cfg = cfg.dump()
+    cfg_dataset, cfg_pipeline, cfg_model = Config.initialize_params(cfg)
+    dataset = Forest3D(**cfg_dataset)
+    model = PointPillars(**cfg_model)
+    pipeline = ObjectDetection(model, dataset, global_cfg, **cfg_pipeline)
+    pred = pipeline.show_inference()
+    assert set(pred) == {"bbox", "label", "score"}
+
+    try:
+        import open3d  # noqa: F401
+    except ImportError:
+        pngs = glob.glob(os.path.join(pipeline.cfg.log_dir,
+                                      "show_inference_*.png"))
+        assert pngs, "matplotlib fallback should write a PNG"

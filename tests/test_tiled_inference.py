@@ -87,3 +87,44 @@ def test_merge_suppresses_duplicates(trained):
     keep = np.asarray(ti._merge(jnp.asarray(pb), jnp.asarray(ps),
                                 jnp.asarray(pl), jnp.asarray(pv)))
     assert keep[0] and not keep[1]
+
+
+def test_tiled_inference_shards_tiles_across_mesh(trained):
+    """The scale-out hook: batch_tiles=8 tiles ride a data-parallel mesh
+    predict (SURVEY §2.9 spatial scale-out), and the merged detections
+    match the single-device tiling of the same scene."""
+    from objectdetection_3d_tpu.parallel import (
+        make_mesh,
+        make_sharded_predict_fn,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    model, variables, batch = trained
+    predict = model.make_predict_fn()
+    base = predict(variables, batch)
+    if not bool(np.asarray(base["valid"]).any()):
+        pytest.skip("tiny model did not converge to emitting detections")
+
+    pts = np.asarray(batch["points"][0][: int(batch["num_points"][0])])
+    shifted = pts.copy()
+    shifted[:, 0] += 8.0
+    scene = np.concatenate([pts, shifted]) + [30.0, 10.0, 5.0, 0.0]
+
+    single = TiledInference(model, variables, overlap=2.0,
+                            predict_fn=predict, max_merge_boxes=64)(scene)
+
+    mesh = make_mesh(8)
+    sharded_predict = make_sharded_predict_fn(model, mesh)
+    sharded = TiledInference(model, variables, overlap=2.0,
+                             batch_tiles=8, predict_fn=sharded_predict,
+                             max_merge_boxes=64)(scene)
+
+    assert len(sharded) == len(single) > 0
+    key = lambda d: (d["label"], round(float(d["bbox"][0]), 2),  # noqa: E731
+                     round(float(d["bbox"][1]), 2))
+    for a, b in zip(sorted(single, key=key), sorted(sharded, key=key)):
+        assert a["label"] == b["label"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-3,
+                                   atol=1e-3)

@@ -133,6 +133,7 @@ def main():
     cfg["pipeline"]["resume_from"] = runs[-1].name
     (root / "config.yaml").write_text(yaml.safe_dump(cfg, sort_keys=False))
     run("run_testing.py", root)
+    run("show_inference.py", root)
 
     # artifact audit (the reference's full output contract).
     # metrics.npy and ckpt_best are written only when validation F1
@@ -155,6 +156,12 @@ def main():
         raise SystemExit("best-ckpt/metrics.npy pairing broken")
     protocol = yaml.safe_load(protocols[0].read_text())
     print(f"test F1: {protocol.get('6_f1')}", flush=True)
+    # show_inference's visual artifact: open3d is absent in this image,
+    # so the matplotlib fallback must have written a PNG
+    pngs = list(rd.rglob("show_inference_*.png"))
+    print(f"show_inference PNGs: {len(pngs)}", flush=True)
+    if not pngs:
+        raise SystemExit("show_inference wrote no visualization PNG")
     if overfit:
         if not (has_best and has_metrics):
             raise SystemExit("overfit run never improved validation F1")
