@@ -34,28 +34,34 @@ class ForestSplit(BaseDatasetSplit):
         assert Path(path).exists()
         return np.load(path)
 
+    @staticmethod
+    def _boxes_from_disk(bbox_path):
+        """Load ``<name>_bbx.npy`` and apply the disk-convention fixups:
+        z center -> bottom, degrees -> radians (reference
+        dataset/ForestDataset.py:58-59)."""
+        boxes = np.load(bbox_path).astype(np.float64).reshape(-1, 9)
+        boxes[:, 2] -= boxes[:, 5] / 2
+        boxes[:, 6:] = np.deg2rad(boxes[:, 6:])
+        return boxes
+
     def get_data(self, idx):
         pc_path = self.path_list[idx]
-        bbox_path = pc_path.rsplit(".", 1)[0] + "_bbx.npy"
+        points = self.read_lidar(pc_path).astype(np.float32)
+        boxes = self._boxes_from_disk(pc_path.rsplit(".", 1)[0] + "_bbx.npy")
 
-        data = self.read_lidar(pc_path)
-        bboxes = np.load(bbox_path).astype(np.float64).reshape(-1, 9)
-        # disk convention fixups (reference dataset/ForestDataset.py:58-59)
-        bboxes[:, 2] = bboxes[:, 2] - bboxes[:, 5] / 2
-        bboxes[:, 6:] = np.deg2rad(bboxes[:, 6:])
+        # shift cloud + boxes so the cloud min corner sits at the origin
+        # (reference dataset/ForestDataset.py:64-67)
+        shift = points[:, :3].min(axis=0)
+        points[:, :3] -= shift
+        boxes[:, :3] -= shift
 
-        points = np.array(data, dtype=np.float32)
-        shift = np.min(points[:, :3], axis=0)
-        points[:, :3] = points[:, :3] - shift
-        bboxes[:, :3] = bboxes[:, :3] - shift
+        outside = (boxes[:, 0] < 0) | (boxes[:, 1] < 0)
+        if outside.any():
+            log.warning("Boxes out of scene %s", boxes[outside])
 
-        out_of_scene = (bboxes[:, 0] < 0) | (bboxes[:, 1] < 0)
-        if out_of_scene.sum():
-            print("Boxes out of scene {}".format(bboxes[out_of_scene]))
-
-        label = np.zeros(shape=(bboxes.shape[0],))
-        return {"point": points, "labels": label,
-                "bboxes": bboxes.astype(np.float32)}
+        return {"point": points,
+                "labels": np.zeros(boxes.shape[0]),
+                "bboxes": boxes.astype(np.float32)}
 
     def get_attr(self, idx):
         pc_path = Path(self.path_list[idx])

@@ -253,7 +253,10 @@ class ForegroundFilter:
     """Trunk-point classifier gate (reference model/utils.py:92-133).
 
     ``filter_type == 'mlp'`` runs the flax MLP from a pickled checkpoint;
-    ``'xgboost'`` loads a saved booster if xgboost is installed.
+    ``'xgboost'`` loads a saved booster — through the xgboost library when
+    installed (fast path), otherwise through the first-party numpy
+    evaluator of the JSON model format (models/xgb_infer.py), so the
+    booster path works with zero third-party native dependencies.
     """
 
     def __init__(self, cfg):
@@ -270,11 +273,24 @@ class ForegroundFilter:
 
     def init_model(self):
         if self.filter_type == "xgboost":
-            import xgboost as xgb
+            import os
 
-            self.foreground_filter = xgb.Booster()
-            self.foreground_filter.load_model(
-                "{}{}".format(self.path, self.filter_type))
+            model_path = "{}{}".format(self.path, self.filter_type)
+            if not os.path.exists(model_path) and \
+                    os.path.exists(model_path + ".json"):
+                model_path = model_path + ".json"
+            try:
+                import xgboost as xgb
+
+                self.foreground_filter = xgb.Booster()
+                self.foreground_filter.load_model(model_path)
+                self._xgb_native = True
+            except ImportError:
+                from objectdetection_3d_tpu.models.xgb_infer import (
+                    NumpyBooster)
+
+                self.foreground_filter = NumpyBooster.load_model(model_path)
+                self._xgb_native = False
         else:
             import os
 
@@ -303,9 +319,14 @@ class ForegroundFilter:
     def evaluate(self, features):
         """(N, C) features -> (N,) uint8 foreground mask."""
         if self.filter_type == "xgboost":
-            import xgboost as xgb
+            if self._xgb_native:
+                import xgboost as xgb
 
-            pred = self.foreground_filter.predict(xgb.DMatrix(features))
+                pred = self.foreground_filter.predict(
+                    xgb.DMatrix(features))
+            else:
+                pred = self.foreground_filter.predict(
+                    np.asarray(features, np.float64))
             return (pred > self.trunk_prob).astype(np.uint8)
 
         import jax.numpy as jnp
