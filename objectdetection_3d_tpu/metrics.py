@@ -137,7 +137,7 @@ class MetricEvaluator:
 
         return detection, fns
 
-    def evaluate(self, pred, target, classes, min_overlap):
+    def evaluate(self, pred, target, classes, min_overlap, validate=False):
         """Aggregate precision/recall over a list of clouds
         (reference model/metrics.py:156-227).
 
@@ -146,9 +146,19 @@ class MetricEvaluator:
             target: list of dicts {'bbox' (T,9), 'label' (T,)}.
             classes: list of class ids.
             min_overlap: list of IoU thresholds (len 1 or len(classes)).
+            validate: host-side degenerate-box checks on every cloud's
+                pred/target boxes before any IoU, with the reference's
+                raising semantics (reference ops/ops_torch.py:610-690,
+                called at model/metrics.py:72-77 via box3d_overlap).
         Returns:
             (precision, recall): (num_classes, 1) arrays in percent.
         """
+        if validate:
+            from objectdetection_3d_tpu.ops.boxes import validate_boxes
+
+            for group in (pred, target):
+                for cloud in group:
+                    validate_boxes(cloud["bbox"])
         if len(min_overlap) != len(classes):
             assert len(min_overlap) == 1
             min_overlap = list(min_overlap) * len(classes)

@@ -276,3 +276,86 @@ def box_planes(boxes):
     centers_dot = jnp.einsum("...ik,...k->...i", normals, mid, precision=_HI)
     offsets = centers_dot + jnp.concatenate([half, half], axis=-1)
     return normals, offsets
+
+
+# ---------------------------------------------------------------------------
+# Host-side runtime validators (numpy, raising — NOT jit-safe)
+# ---------------------------------------------------------------------------
+# The reference raises on malformed corner sets before every exact-IoU call
+# (ops/ops_torch.py:610-690, ``check_coplanar`` / ``check_nonzero``).  Inside
+# jit our IoU is padding-safe by design (returns 0 for degenerate boxes), so
+# these run only at the HOST boundary, on user-supplied data entering
+# ``run_inference`` / ``MetricEvaluator`` with ``validate=True``.
+
+# Quad faces in the reference's plane list (ops/ops_torch.py:617-625).
+_VALIDATE_PLANES = np.array(
+    [[0, 1, 2, 3], [3, 2, 6, 7], [0, 1, 5, 4],
+     [0, 3, 7, 4], [1, 2, 6, 5], [4, 5, 6, 7]])
+
+# Triangle faces (reference ops/ops_torch.py:658-671).
+_VALIDATE_TRIANGLES = np.array(
+    [[0, 1, 2], [0, 3, 2], [4, 5, 6], [4, 6, 7], [1, 5, 6], [1, 6, 2],
+     [0, 4, 7], [0, 7, 3], [3, 2, 6], [3, 6, 7], [0, 1, 5], [0, 4, 5]])
+
+
+def _unit(v, eps=1e-12):
+    return v / np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), eps)
+
+
+def check_coplanar(corners, eps=1e-4):
+    """Raise ``ValueError`` when any box's quad faces are non-planar
+    (reference ops/ops_torch.py:610-648 semantics and message shape).
+
+    Args:
+        corners: (B, 8, 3) numpy corner sets.
+    """
+    corners = np.asarray(corners, np.float64)
+    v0, v1, v2, v3 = np.moveaxis(
+        corners[:, _VALIDATE_PLANES], 2, 0)  # each (B, 6, 3)
+    normal = _unit(np.cross(_unit(v1 - v0), _unit(v2 - v0)))
+    dev = np.einsum("bpk,bpk->bp", v3 - v0, normal)
+    # NaN corners compare False -> flagged, like the reference's tag
+    coplanar = np.all(np.abs(dev) < eps, axis=1)
+    if not coplanar.all():
+        raise ValueError(
+            "Plane vertices are not coplanar. This applies for bboxes in "
+            "positions: {}".format(np.flatnonzero(~coplanar)))
+
+
+def check_nonzero(corners, eps=1e-4):
+    """Raise ``ValueError`` when any box has a (near-)zero-area face
+    (reference ops/ops_torch.py:651-690 semantics and message shape).
+
+    Args:
+        corners: (B, 8, 3) numpy corner sets.
+    """
+    corners = np.asarray(corners, np.float64)
+    v0, v1, v2 = np.moveaxis(corners[:, _VALIDATE_TRIANGLES], 2, 0)
+    areas = np.linalg.norm(np.cross(v1 - v0, v2 - v0), axis=-1) / 2
+    nonzero = ~np.any(~(areas >= eps), axis=1)  # NaN areas -> flagged
+    if not nonzero.all():
+        raise ValueError(
+            "Planes have zero areas. This applies for bboxes in "
+            "positions: {}".format(np.flatnonzero(~nonzero)))
+
+
+def validate_boxes(boxes, eps=1e-4):
+    """Validate host-side 9-param boxes like the reference validates its
+    corner sets before every IoU call: coplanar faces + nonzero areas.
+
+    Args:
+        boxes: (B, 9) numpy array (any input convertible to it).
+    """
+    boxes = np.asarray(boxes, np.float64).reshape(-1, 9)
+    if boxes.size == 0:
+        return
+    if not np.isfinite(boxes).all():
+        raise ValueError(
+            "Boxes contain non-finite values. This applies for bboxes in "
+            "positions: {}".format(
+                np.flatnonzero(~np.isfinite(boxes).all(axis=1))))
+    from objectdetection_3d_tpu.augment.numpy_ops import bbox2corners3D_np
+
+    corners = np.stack([bbox2corners3D_np(b) for b in boxes])
+    check_coplanar(corners, eps)
+    check_nonzero(corners, eps)

@@ -255,9 +255,22 @@ class ObjectDetection(BasePipeline):
     # ------------------------------------------------------------------
     # inference entry points
     # ------------------------------------------------------------------
-    def run_inference(self, data):
+    def run_inference(self, data, validate=False):
         """Run inference on one preprocessed data item
-        (reference pipeline/pipeline.py:132-158)."""
+        (reference pipeline/pipeline.py:132-158).
+
+        ``validate=True`` checks user-supplied GT boxes at the host
+        boundary with the reference's degenerate-box error semantics
+        (reference ops/ops_torch.py:610-690); inside jit the IoU is
+        padding-safe instead of raising.
+        """
+        if validate:
+            from objectdetection_3d_tpu.ops.boxes import validate_boxes
+
+            item = data["data"] if isinstance(data, dict) and "data" in data \
+                else data
+            if isinstance(item, dict) and item.get("bboxes") is not None:
+                validate_boxes(item["bboxes"])
         if self.state is None:
             self._init_state()
         self.load_ckpt()

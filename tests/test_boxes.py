@@ -104,3 +104,62 @@ def test_box_planes_contain_center():
     slack = np.asarray(
         jnp.einsum("nik,nk->ni", normals, mid) - offsets)
     assert np.all(slack < 0)  # mid strictly inside all half-spaces
+
+
+# ---------------------------------------------------------------------------
+# Host-side validators (reference ops/ops_torch.py:610-690)
+# ---------------------------------------------------------------------------
+class TestHostValidators:
+    def test_valid_boxes_pass(self):
+        rng = np.random.default_rng(7)
+        B.validate_boxes(random_boxes(16, rng))
+
+    def test_empty_passes(self):
+        B.validate_boxes(np.zeros((0, 9)))
+
+    def test_zero_dim_raises_with_position(self):
+        rng = np.random.default_rng(8)
+        bxs = random_boxes(4, rng)
+        bxs[2, 4] = 0.0
+        with pytest.raises(ValueError, match=r"zero areas.*\[2\]"):
+            B.validate_boxes(bxs)
+
+    def test_nonfinite_raises(self):
+        rng = np.random.default_rng(9)
+        bxs = random_boxes(3, rng)
+        bxs[1, 0] = np.nan
+        with pytest.raises(ValueError, match=r"non-finite.*\[1\]"):
+            B.validate_boxes(bxs)
+
+    def test_check_coplanar_flags_warped_corners(self):
+        rng = np.random.default_rng(10)
+        corners = np.stack([box_corners_np(b)
+                            for b in random_boxes(3, rng)])
+        B.check_coplanar(corners)
+        corners[1, 0, 2] += 0.5  # pull one vertex off its faces
+        with pytest.raises(ValueError, match=r"not coplanar.*\[1\]"):
+            B.check_coplanar(corners)
+
+    def test_check_nonzero_flags_collapsed_face(self):
+        rng = np.random.default_rng(11)
+        corners = np.stack([box_corners_np(b)
+                            for b in random_boxes(2, rng)])
+        B.check_nonzero(corners)
+        corners[0, 1] = corners[0, 0]  # zero-area triangles on face 0
+        with pytest.raises(ValueError, match=r"zero areas.*\[0\]"):
+            B.check_nonzero(corners)
+
+    def test_metric_evaluator_validate_flag(self):
+        from objectdetection_3d_tpu.metrics import MetricEvaluator
+
+        rng = np.random.default_rng(12)
+        good = random_boxes(2, rng).astype(np.float32)
+        bad = good.copy()
+        bad[0, 5] = 0.0
+        me = MetricEvaluator(eval_dim=3)
+        pred = [{"bbox": bad, "label": np.zeros(2), "score": np.ones(2)}]
+        target = [{"bbox": good, "label": np.zeros(2)}]
+        with pytest.raises(ValueError, match="zero areas"):
+            me.evaluate(pred, target, [0], [0.1], validate=True)
+        # same call without the flag keeps the jit-style padding-safe path
+        me.evaluate(pred, target, [0], [0.1])
