@@ -307,7 +307,7 @@ class PointPillars(BaseModel):
     # loss
     # ------------------------------------------------------------------
     def loss(self, results, inputs, anchors=None, anchor_aabb=None,
-             pallas="auto"):
+             pallas="auto", assign_shard=None):
         """Training losses (reference model/PointPillars.py:147-226).
 
         Args:
@@ -317,6 +317,14 @@ class PointPillars(BaseModel):
             anchors / anchor_aabb: pass these as jit ARGUMENTS in jitted
                 callers — baking the 1.9M-anchor constant into the program
                 balloons compile time badly.
+            assign_shard: optional ``(mesh, axis_name)``.  Wraps the
+                assignment in ``jax.shard_map`` over the batch axis so
+                each device runs it on its LOCAL items — Mosaic custom
+                calls never reach GSPMD (which has no partitioning rule
+                for them), so mesh training keeps the fused Pallas
+                assignment (~250 ms/step single-chip) instead of the
+                blanket ``pallas="off"`` XLA fallback.  Assignment is
+                per-item independent: no collectives are needed inside.
         Returns:
             dict of scalar losses.
         """
@@ -328,23 +336,50 @@ class PointPillars(BaseModel):
         if anchor_aabb is None:
             anchor_aabb = self.anchor_aabb
 
-        assign = jax.vmap(
-            lambda gt, lbl, msk: assign_targets(
-                anchors, gt, lbl, msk,
-                pos_thr=self._pos_thr, neg_thr=self._neg_thr,
-                candidates_per_gt=int(
-                    self.tpu_cfg["assign_candidates_per_gt"]),
-                num_classes=self.num_classes,
-                anchor_aabb=anchor_aabb,
-                prefilter=str(
-                    self.tpu_cfg.get("assign_prefilter", "approx")),
-                prefilter_block=int(
-                    self.tpu_cfg.get("assign_prefilter_block", 128)),
-                layout=self.anchor_layout,
-                exact_anchor_tier=bool(
-                    self.tpu_cfg.get("assign_exact_anchor_tier", True)),
-                pallas=pallas)
-        )(inputs["bboxes"], inputs["labels"], inputs["gt_mask"])
+        # inside a shard_map island the Pallas gate may re-open even when
+        # the surrounding mesh program routes pallas="off"
+        assign_pallas = "auto" if assign_shard is not None else pallas
+
+        def assign_batch(anchors_, anchor_aabb_, gt, lbl, msk):
+            return jax.vmap(
+                lambda g_, l_, m_: assign_targets(
+                    anchors_, g_, l_, m_,
+                    pos_thr=self._pos_thr, neg_thr=self._neg_thr,
+                    candidates_per_gt=int(
+                        self.tpu_cfg["assign_candidates_per_gt"]),
+                    num_classes=self.num_classes,
+                    anchor_aabb=anchor_aabb_,
+                    prefilter=str(
+                        self.tpu_cfg.get("assign_prefilter", "approx")),
+                    prefilter_block=int(
+                        self.tpu_cfg.get("assign_prefilter_block", 128)),
+                    layout=self.anchor_layout,
+                    exact_anchor_tier=bool(
+                        self.tpu_cfg.get("assign_exact_anchor_tier",
+                                         True)),
+                    geometry=str(
+                        self.tpu_cfg.get("assign_geometry", "auto")),
+                    pallas=assign_pallas)
+            )(gt, lbl, msk)
+
+        if assign_shard is None:
+            assign = assign_batch(anchors, anchor_aabb, inputs["bboxes"],
+                                  inputs["labels"], inputs["gt_mask"])
+        else:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            mesh, axis = assign_shard
+            # check_vma=False: scan carries inside the assignment mix
+            # replicated (anchor-derived) and sharded (GT-derived)
+            # operands, which the varying-axis checker rejects despite
+            # being per-device-pure here
+            assign = shard_map(
+                assign_batch, mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P(axis)),
+                out_specs=P(axis), check_vma=False,
+            )(anchors, anchor_aabb, inputs["bboxes"],
+              inputs["labels"], inputs["gt_mask"])
 
         # padded repeat items (short final batches) carry zero weight so
         # eval/train losses average only over real clouds
@@ -430,7 +465,8 @@ class PointPillars(BaseModel):
             tx = optax.chain(optax.clip(float(grad_clip_value)), tx)
         return tx
 
-    def train_step_fn(self, tx, out_constraint=None, pallas="auto"):
+    def train_step_fn(self, tx, out_constraint=None, pallas="auto",
+                      assign_shard=None):
         """The un-jitted training step closure shared by every execution
         mode (single-chip jit, data-parallel mesh, 2-D data x space mesh —
         parallel/data_parallel.py jits this same function with sharding
@@ -447,6 +483,11 @@ class PointPillars(BaseModel):
                 Pallas kernel — REQUIRED when this step is jitted over a
                 mesh (GSPMD cannot partition Mosaic custom calls;
                 parallel/data_parallel.py passes it).
+            assign_shard: optional ``(mesh, axis_name)`` — reopens the
+                Pallas assignment inside a ``shard_map`` island over the
+                batch axis even when ``pallas="off"`` (see
+                :meth:`loss`); parallel/data_parallel.py passes it so
+                mesh training keeps the fast assignment.
         Returns:
             step(state, batch, anchors, anchor_aabb) -> (state, losses).
         """
@@ -467,7 +508,8 @@ class PointPillars(BaseModel):
                 if out_constraint is not None:
                     outs = out_constraint(outs)
                 losses = self.loss(outs, batch, anchors, anchor_aabb,
-                                   pallas=pallas)
+                                   pallas=pallas,
+                                   assign_shard=assign_shard)
                 total = sum(losses.values())
                 return total, (losses, new_bs)
 

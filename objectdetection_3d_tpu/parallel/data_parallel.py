@@ -106,9 +106,14 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
     # calls — inside a mesh-jitted program they would be replicated per
     # chip (full-size grid build / 1.9M-anchor assignment on EVERY
     # device), defeating the sharding; the XLA formulations of the same
-    # math partition cleanly and are numerically identical
+    # math partition cleanly and are numerically identical.  The
+    # assignment — the expensive piece (~250 ms/step single-chip saved
+    # by its fused Pallas geometry) — gets its Pallas path back through
+    # a shard_map island over the data axis: each device runs the
+    # kernels on its LOCAL batch items, so Mosaic never meets GSPMD.
     step = model.train_step_fn(tx, out_constraint=constraint,
-                               pallas="off")
+                               pallas="off",
+                               assign_shard=(mesh, axis_name))
     jitted = jax.jit(
         step,
         in_shardings=(repl, bsh, repl, repl),

@@ -175,3 +175,46 @@ def test_spatial_sharded_predict(setup):
                                   np.asarray(want["label"]))
     np.testing.assert_allclose(np.asarray(got["bbox"]),
                                np.asarray(want["bbox"]), atol=1e-3)
+
+
+def test_sharded_step_with_pallas_assignment_matches_single_chip():
+    """VERDICT r3 #3: mesh training must keep the fused Pallas assignment.
+
+    The sharded step routes the assignment through a shard_map island over
+    the data axis (each device runs the Mosaic kernels on its LOCAL batch
+    items — GSPMD never sees them).  Forcing the island's geometry through
+    the ACTUAL Pallas kernel bodies (interpret mode on CPU), one sharded
+    step must match the single-chip step running the default XLA
+    geometry: same losses, same updated parameters.
+    """
+    cfg = tiny_model_cfg()
+    cfg["tpu"]["assign_geometry"] = "pallas_interpret"
+    model_pl = PointPillars(**cfg)
+    model_xla = PointPillars(**tiny_model_cfg())
+    assert model_pl.anchor_layout is not None, \
+        "tiny anchor grid must factorize or the Pallas tier is skipped"
+    variables = model_pl.init_variables(jax.random.PRNGKey(0))
+    tx = model_pl.get_optimizer(dict(lr=3e-3, betas=[0.95, 0.99],
+                                     weight_decay=0.01),
+                                grad_clip_value=2.0)
+    batch = to_device(tiny_batch(batch_size=8, seed=13))
+
+    def fresh_state():
+        return {"params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"])}
+
+    single = model_xla.make_train_step(tx, donate=False)
+    s1, l1 = single(fresh_state(), batch)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(model_pl, tx, mesh, donate=False)
+    s8, l8 = sharded(fresh_state(), batch)
+
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l8[k]),
+                                   rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1["params"]),
+                    jax.tree_util.tree_leaves(s8["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
