@@ -283,8 +283,11 @@ class PointPillars(BaseModel):
         """
         net = self._net_for(pallas)
         if self._use_point_pfn:
-            vox = jax.vmap(self.voxel_layer.points)(
-                batch["points"], batch["num_points"])
+            # pallas="auto" routes the post-sort tail through the fused
+            # Pallas scan on TPU (ops/voxel_scan.py); "off" keeps the
+            # XLA tail for GSPMD mesh programs
+            vox = self.voxel_layer.points_batch(
+                batch["points"], batch["num_points"], pallas=pallas)
             kwargs = dict(points=vox["points"], pt_voxel=vox["pt_voxel"],
                           pt_valid=vox["pt_valid"],
                           max_slots=self.voxel_layer.max_voxel_points)

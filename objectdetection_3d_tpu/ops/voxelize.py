@@ -29,6 +29,82 @@ import jax
 import jax.numpy as jnp
 
 
+def _grid_of(voxel_size, point_cloud_range):
+    return tuple(
+        int(round((point_cloud_range[3 + i] - point_cloud_range[i])
+                  / voxel_size[i]))
+        for i in range(3))
+
+
+def _cells_sorted(points, num_points, *, voxel_size, point_cloud_range,
+                  reflectance_sampling, shuffle_key=None):
+    """Shared sort phase: flat cell ids (sentinel for out-of-range) and
+    the (cell, priority)-sorted points.  Returns (cell_s, pts_s)."""
+    pcr = jnp.asarray(point_cloud_range, points.dtype)
+    vsz = jnp.asarray(voxel_size, points.dtype)
+    grid = _grid_of(voxel_size, point_cloud_range)
+
+    p = points.shape[0]
+    idx = jnp.arange(p)
+    valid = idx < num_points
+
+    cell3 = jnp.floor((points[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
+    in_range = jnp.all(
+        (cell3 >= 0) & (cell3 < jnp.asarray(grid, jnp.int32)), axis=-1)
+    ok = valid & in_range
+
+    sentinel = jnp.int32(grid[0] * grid[1] * grid[2])
+    cell = (cell3[:, 2] * grid[1] + cell3[:, 1]) * grid[0] + cell3[:, 0]
+    cell = jnp.where(ok, cell, sentinel)
+
+    if reflectance_sampling:
+        secondary = -points[:, 3]
+    elif shuffle_key is not None:
+        secondary = jax.random.uniform(shuffle_key, (p,), points.dtype)
+    else:
+        secondary = jnp.zeros((p,), points.dtype)
+
+    cell_s, _, order = jax.lax.sort(
+        (cell, secondary, idx.astype(jnp.int32)), num_keys=2,
+        is_stable=True)
+    return cell_s, points[order]
+
+
+def _finalize_points_scan(cell_s, pts_s, vox, rank, *, grid,
+                          max_points_per_voxel, max_voxels):
+    """Point-granularity outputs from the fused Pallas scan's (vox, rank)
+    (ops/voxel_scan.py): two sorted scatters replace the XLA tail's
+    cumsum + bounds pair + P-row rank gather + V-row head gather."""
+    sentinel = grid[0] * grid[1] * grid[2]
+    in_rng = cell_s < sentinel
+    pt_voxel = jnp.where(in_rng, jnp.minimum(vox, max_voxels),
+                         max_voxels).astype(jnp.int32)
+    pt_valid = in_rng & (vox < max_voxels) & (rank < max_points_per_voxel)
+    num_voxels = jnp.minimum(
+        jnp.max(jnp.where(in_rng, vox, -1)) + 1, max_voxels).astype(
+            jnp.int32)
+    voxel_mask = jnp.arange(max_voxels) < num_voxels
+    counts = jnp.zeros((max_voxels + 1,), jnp.int32).at[pt_voxel].add(
+        pt_valid.astype(jnp.int32),
+        indices_are_sorted=True)[:max_voxels]
+    # every point of a run carries the same cell id: scatter-min = head
+    vcell = jnp.full((max_voxels + 1,), sentinel, jnp.int32).at[
+        pt_voxel].min(cell_s, indices_are_sorted=True)[:max_voxels]
+    coords = jnp.stack([vcell // (grid[0] * grid[1]),
+                        (vcell // grid[0]) % grid[1],
+                        vcell % grid[0]], axis=-1)
+    coords = jnp.where(voxel_mask[:, None], coords, -1).astype(jnp.int32)
+    return {
+        "points": pts_s,
+        "pt_voxel": pt_voxel,
+        "pt_valid": pt_valid,
+        "coords": coords,
+        "num_points_per_voxel": counts,
+        "num_voxels": num_voxels,
+        "voxel_mask": voxel_mask,
+    }
+
+
 def _run_bounds(cell_s, vox_id, sentinel, max_voxels):
     """Per-voxel [start, end) bounds in the sorted point order.
 
@@ -214,36 +290,14 @@ def voxelize_points(
             num_voxels: scalar int32,
             voxel_mask: (V,) bool.
     """
-    pcr = jnp.asarray(point_cloud_range, points.dtype)
-    vsz = jnp.asarray(voxel_size, points.dtype)
-    grid = tuple(
-        int(round((point_cloud_range[3 + i] - point_cloud_range[i])
-                  / voxel_size[i]))
-        for i in range(3))
-
+    grid = _grid_of(voxel_size, point_cloud_range)
     p = points.shape[0]
     idx = jnp.arange(p)
-    valid = idx < num_points
-
-    cell3 = jnp.floor((points[:, :3] - pcr[:3]) / vsz).astype(jnp.int32)
-    in_range = jnp.all(
-        (cell3 >= 0) & (cell3 < jnp.asarray(grid, jnp.int32)), axis=-1)
-    ok = valid & in_range
-
     sentinel = jnp.int32(grid[0] * grid[1] * grid[2])
-    cell = (cell3[:, 2] * grid[1] + cell3[:, 1]) * grid[0] + cell3[:, 0]
-    cell = jnp.where(ok, cell, sentinel)
-
-    if reflectance_sampling:
-        secondary = -points[:, 3]
-    elif shuffle_key is not None:
-        secondary = jax.random.uniform(shuffle_key, (p,), points.dtype)
-    else:
-        secondary = jnp.zeros((p,), points.dtype)
-
-    cell_s, _, order = jax.lax.sort(
-        (cell, secondary, idx.astype(jnp.int32)), num_keys=2, is_stable=True)
-    pts_s = points[order]
+    cell_s, pts_s = _cells_sorted(
+        points, num_points, voxel_size=voxel_size,
+        point_cloud_range=point_cloud_range,
+        reflectance_sampling=reflectance_sampling, shuffle_key=shuffle_key)
 
     first = jnp.concatenate(
         [jnp.array([True]), cell_s[1:] != cell_s[:-1]]) & (cell_s < sentinel)
@@ -333,3 +387,41 @@ class Voxelizer:
             reflectance_sampling=self.reflectance_sampling,
             shuffle_key=shuffle_key,
         )
+
+    def points_batch(self, points, num_points, pallas="off"):
+        """Batched point-granularity voxelization.
+
+        ``pallas="auto"`` (TPU) / ``"interpret"`` (CPU tests) routes the
+        post-sort tail through the fused Pallas scan
+        (ops/voxel_scan.py); ``"off"`` keeps the pure-XLA tail (required
+        under GSPMD mesh partitioning).  The kernel takes the whole
+        (B, P) batch in one grid — no vmap over the Mosaic call.
+
+        Args:
+            points: (B, P, C); num_points: (B,) valid counts.
+        Returns:
+            dict of batched :func:`voxelize_points` outputs.
+        """
+        from objectdetection_3d_tpu.ops import voxel_scan
+
+        use_scan = (pallas in ("scan", "interpret")
+                    or (pallas == "auto"
+                        and jax.default_backend() == "tpu"
+                        and voxel_scan.supported(points.shape[1])))
+        if not use_scan:
+            return jax.vmap(self.points)(points, num_points)
+
+        grid = self.grid_size
+        cell_s, pts_s = jax.vmap(partial(
+            _cells_sorted, voxel_size=self.voxel_size,
+            point_cloud_range=self.point_cloud_range,
+            reflectance_sampling=self.reflectance_sampling,
+        ))(points, num_points)
+        vox, rank = voxel_scan.postsort_scan(
+            cell_s, grid[0] * grid[1] * grid[2],
+            interpret=(pallas == "interpret"))
+        return jax.vmap(partial(
+            _finalize_points_scan, grid=grid,
+            max_points_per_voxel=self.max_voxel_points,
+            max_voxels=self.max_voxels,
+        ))(cell_s, pts_s, vox, rank)

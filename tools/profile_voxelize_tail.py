@@ -40,6 +40,9 @@ VSZ = (0.1, 0.1, 0.3)
 
 
 def stream_time(fn, args, k=8, reps=5):
+    # device_put ONCE: a host-numpy arg re-uploads 2 MB through the
+    # tunnel on EVERY call (~40 ms), drowning the ms-scale op under test
+    args = [jax.device_put(a) for a in args]
     outs = [fn(*args) for _ in range(k)]
     leaf = jax.tree_util.tree_leaves(outs[-1])[0]
     float(jnp.asarray(leaf).sum())
