@@ -24,9 +24,11 @@ Mosaic notes: blocks are (1, BLK) int32 lane vectors; the in-block
 prefix sum / prefix max are Hillis-Steele ladders of ``pltpu.roll``
 (log2(BLK) lane rotates); scalars cross blocks through SMEM scratch and
 all scalar reads of vector data go through lane-masked reductions (no
-scalar VMEM loads).  The grid is (B, num_blocks) with both axes
-sequential ("arbitrary", the TPU default) so the carry re-initializes at
-block 0 of every batch row.
+scalar VMEM loads).  Batching: Mosaic requires the block's second-to-last
+dim to divide 8 or equal the array's, so a (B, P) input is flattened to
+(1, B*P) and scanned by ONE sequential grid; lane 0 of every
+``blocks_per_row``-th block forces a run restart (row boundary), and the
+caller re-bases ``vox`` per row by subtracting the row's first value.
 """
 
 from functools import partial
@@ -44,8 +46,9 @@ def supported(p):
     return p % _BLK == 0 and p >= _BLK
 
 
-def _kernel(cell_ref, vox_ref, rank_ref, carry_ref, *, blk, nblk, sentinel):
-    i = pl.program_id(1)
+def _kernel(cell_ref, vox_ref, rank_ref, carry_ref, *, blk, blocks_per_row,
+            sentinel):
+    i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
@@ -57,7 +60,10 @@ def _kernel(cell_ref, vox_ref, rank_ref, carry_ref, *, blk, nblk, sentinel):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
     shifted = jnp.where(lane == 0, carry_ref[0],
                         pltpu.roll(x, 1, axis=1))
-    first = (x != shifted) & (x < sentinel)
+    # a batch-row boundary always restarts the run: rows are independent
+    # clouds whose first sorted cell may equal the previous row's last
+    row_start = (i % blocks_per_row == 0) & (lane == 0)
+    first = ((x != shifted) | row_start) & (x < sentinel)
     f = first.astype(jnp.int32)
 
     # inclusive prefix sum of run starts (Hillis-Steele over lanes)
@@ -105,16 +111,27 @@ def postsort_scan(cell_s, sentinel, interpret=False):
     """
     b, p = cell_s.shape
     assert supported(p), f"P={p} must be a multiple of {_BLK}"
-    nblk = p // _BLK
+    # Mosaic rejects a (1, BLK) block against a (B, P) array when B > 1
+    # (second-to-last block dim must divide 8 or equal B).  Flatten to
+    # (1, B*P): one sequential grid, row boundaries restart runs in-kernel.
+    blocks_per_row = p // _BLK
+    flat = cell_s.reshape(1, b * p)
     vox, rank = pl.pallas_call(
-        partial(_kernel, blk=_BLK, nblk=nblk, sentinel=int(sentinel)),
-        grid=(b, nblk),
-        in_specs=[pl.BlockSpec((1, _BLK), lambda bi, i: (bi, i),
+        partial(_kernel, blk=_BLK, blocks_per_row=blocks_per_row,
+                sentinel=int(sentinel)),
+        grid=(b * blocks_per_row,),
+        in_specs=[pl.BlockSpec((1, _BLK), lambda i: (0, i),
                                memory_space=pltpu.VMEM)],
-        out_specs=[pl.BlockSpec((1, _BLK), lambda bi, i: (bi, i),
+        out_specs=[pl.BlockSpec((1, _BLK), lambda i: (0, i),
                                 memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((b, p), jnp.int32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, b * p), jnp.int32)] * 2,
         scratch_shapes=[pltpu.SMEM((3,), jnp.int32)],
         interpret=interpret,
-    )(cell_s)
-    return vox, rank
+    )(flat)
+    vox = vox.reshape(b, p)
+    rank = rank.reshape(b, p)
+    # re-base run indices per row (vox[:, 0] counts the runs of all
+    # earlier rows; rows sort valid cells first, so position 0 is valid
+    # whenever the row has any valid point — otherwise everything in the
+    # row is masked by the caller anyway)
+    return vox - vox[:, :1], rank

@@ -194,6 +194,33 @@ class TestPallasScanParity:
         batch = self._cloud(rng, 8192, 8192, spread=7.9)[None]
         self._compare(vx, batch, np.array([8192], np.int32))
 
+    def test_row_boundary_equal_cells(self):
+        """Row 0 completely full of valid points whose LAST sorted cell
+        id equals row 1's FIRST — the flattened (1, B*P) scan must still
+        restart the run at the row boundary (kernel ``row_start``)."""
+        rng = np.random.default_rng(7)
+        vx = Voxelizer(voxel_size=[8.0, 8.0, 4.0],  # one voxel = whole range
+                       point_cloud_range=[0, 0, 0, 8, 8, 4],
+                       max_voxel_points=8192, max_voxels=4)
+
+        def in_range(n):
+            pts = np.zeros((4096, 4), np.float32)
+            pts[:n, :3] = rng.uniform([0.1] * 3, [7.9, 7.9, 3.9], (n, 3))
+            pts[:n, 3] = rng.uniform(0, 1, n)
+            return pts
+
+        full, part = in_range(4096), in_range(1000)
+        batch = np.stack([full, part, full])
+        nums = np.array([4096, 1000, 4096], np.int32)
+        self._compare(vx, batch, nums)
+        # every valid point of every row lands in run 0 of ITS row
+        out = vx.points_batch(batch, nums, pallas="interpret")
+        pv, va = np.asarray(out["pt_voxel"]), np.asarray(out["pt_valid"])
+        for r in range(3):
+            assert (pv[r][va[r]] == 0).all()
+        assert np.asarray(out["num_points_per_voxel"])[:, 0].tolist() == \
+            [4096, 1000, 4096]
+
     def test_voxel_cap_overflow(self):
         rng = np.random.default_rng(2)
         vx = Voxelizer(voxel_size=[0.25, 0.25, 0.5],
