@@ -42,6 +42,9 @@ class TiledInference:
         self.max_merge_boxes = int(max_merge_boxes)
         self._predict = predict_fn or model.make_predict_fn()
         self._merge = jax.jit(self._merge_fn)
+        self._pack = jax.jit(lambda ps: {
+            k: jnp.stack([p[k] for p in ps])
+            for k in ("bbox", "score", "label", "valid")})
 
         pcr = model.point_cloud_range
         self.tile_x = pcr[3] - pcr[0]
@@ -68,6 +71,53 @@ class TiledInference:
             valid_mask=valid)
         return jnp.any(keep, axis=1)
 
+    def _bucket_sort(self, points, lo):
+        """Pre-sort the scene into tile-stride buckets, once.
+
+        A naive per-tile crop masks the FULL (N, 3) cloud per tile —
+        O(tiles * N) host work, ~7 s for 25 tiles over 2M points on a
+        1-vCPU host (measured; it dominated the tiled wall time).  One
+        argsort by bucket id makes each tile's candidate set the few
+        contiguous bucket slices its window overlaps.
+        """
+        sx = max(self.tile_x - self.overlap, self.tile_x * 0.5)
+        sy = max(self.tile_y - self.overlap, self.tile_y * 0.5)
+        bx = np.floor((points[:, 0] - lo[0]) / sx).astype(np.int64)
+        by = np.floor((points[:, 1] - lo[1]) / sy).astype(np.int64)
+        nbx = max(int(bx.max()) + 1, 1)
+        nby = max(int(by.max()) + 1, 1)
+        bid = bx * nby + by
+        order = np.argsort(bid, kind="stable")
+        sorted_pts = points[order]
+        starts = np.searchsorted(bid[order], np.arange(nbx * nby + 1))
+        return sorted_pts, starts, (sx, sy, nbx, nby)
+
+    def _crop_tile(self, sorted_pts, starts, grid, lo, pcr, x0, y0,
+                   max_pts):
+        sx, sy, nbx, nby = grid
+        # buckets whose stride cell can intersect [x0, x0 + tile)
+        bx0 = max(int(np.floor((x0 - lo[0]) / sx)), 0)
+        bx1 = min(int(np.floor((x0 + self.tile_x - lo[0]) / sx)), nbx - 1)
+        by0 = max(int(np.floor((y0 - lo[1]) / sy)), 0)
+        by1 = min(int(np.floor((y0 + self.tile_y - lo[1]) / sy)), nby - 1)
+        parts = []
+        for cx in range(bx0, bx1 + 1):
+            for cy in range(by0, by1 + 1):
+                b = cx * nby + cy
+                parts.append(sorted_pts[starts[b]:starts[b + 1]])
+        cand = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        shift = np.array([x0, y0, lo[2]], np.float32)
+        xyz = cand[:, :3]
+        sel = np.all((xyz >= pcr[:3] + shift)
+                     & (xyz < pcr[3:] + shift), axis=1)
+        local = cand[sel]
+        local[:, :3] -= shift
+        if local.shape[0] > max_pts:
+            idx = np.random.default_rng(0).choice(
+                local.shape[0], max_pts, replace=False)
+            local = local[idx]
+        return local
+
     def __call__(self, points):
         """Detect over a full scene.
 
@@ -83,6 +133,7 @@ class TiledInference:
 
         xs = self._tile_origins(lo[0], hi[0], self.tile_x, self.overlap)
         ys = self._tile_origins(lo[1], hi[1], self.tile_y, self.overlap)
+        sorted_pts, starts, grid = self._bucket_sort(points, lo)
 
         max_pts = int(self.model.tpu_cfg["max_points_static"])
         max_gt = int(self.model.tpu_cfg["max_gt_static"])
@@ -93,9 +144,9 @@ class TiledInference:
 
         # Enqueue every tile's predict before reading ANY result back:
         # jax dispatch is async, so the device works on tile t while the
-        # host crops tile t+1, and the per-tile readback RPCs (~27 ms
-        # each on the tunnel) coalesce at the drain instead of
-        # serializing with compute.
+        # host crops tile t+1, and the readback coalesces into ONE
+        # stacked fetch at the drain (per-array readbacks cost ~60 ms
+        # of tunnel RPC each — 4 arrays x 25 tiles was ~6 s, measured).
         pending = []
         for i in range(0, len(tiles), self.batch_tiles):
             chunk = tiles[i:i + self.batch_tiles]
@@ -106,19 +157,8 @@ class TiledInference:
                                   points.shape[1]), np.float32)
             batch_n = np.zeros((self.batch_tiles,), np.int32)
             for j, (x0, y0) in enumerate(chunk):
-                # select in scene frame first: copying the full (N, C)
-                # cloud per tile cost O(tiles * N * C) host time on
-                # multi-million-point scenes
-                shift = np.array([x0, y0, lo[2]], np.float32)
-                xyz = points[:, :3]
-                sel = np.all((xyz >= pcr[:3] + shift)
-                             & (xyz < pcr[3:] + shift), axis=1)
-                local = points[sel]
-                local[:, :3] -= shift
-                if local.shape[0] > max_pts:
-                    idx = np.random.default_rng(0).choice(
-                        local.shape[0], max_pts, replace=False)
-                    local = local[idx]
+                local = self._crop_tile(sorted_pts, starts, grid, lo,
+                                        pcr, x0, y0, max_pts)
                 batch_pts[j, :local.shape[0]] = local
                 batch_n[j] = local.shape[0]
 
@@ -133,11 +173,12 @@ class TiledInference:
             preds = self._predict(self.variables, batch)
             pending.append((chunk, pad, preds))
 
-        for chunk, pad, preds in pending:
-            bbox = np.asarray(preds["bbox"])
-            score = np.asarray(preds["score"])
-            label = np.asarray(preds["label"])
-            valid = np.asarray(preds["valid"])
+        # one jitted stack + one fetch for the whole scene
+        packed = self._pack([p for _, _, p in pending])
+        packed = jax.device_get(packed)
+        for t, (chunk, pad, _) in enumerate(pending):
+            bbox, score = packed["bbox"][t], packed["score"][t]
+            label, valid = packed["label"][t], packed["valid"][t]
             for j, (x0, y0) in enumerate(chunk[:len(chunk) - pad]):
                 v = valid[j]
                 b = bbox[j][v].copy()
