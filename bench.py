@@ -127,14 +127,19 @@ def main():
     # the dev tunnel on every call (~125 ms), which is a tunnel artifact,
     # not the op (CLAUDE.md); the e2e stream sections below keep host
     # inputs because there the upload overlaps compute like real serving
-    vox_fn = jax.jit(lambda p, n: model.voxelize_batch(p, n))
+    # the path the flagship e2e program actually runs: the point-granularity
+    # voxelizer (sorted points + voxel ids + Pallas post-sort scan), NOT the
+    # legacy (V, M, C) buffer builder (that one costs ~60 ms standalone and
+    # only serves multi-layer-PFN configs)
+    vox_fn = jax.jit(lambda p, n: model.voxel_layer.points_batch(p, n))
     dev_pts = jax.device_put(batch["points"])
     dev_num = jax.device_put(batch["num_points"])
     vox_ms = timed(vox_fn, dev_pts, dev_num, reps=20) * 1000
-    print(f"voxelization (standalone, device-resident input, incl ~27ms "
-          f"RPC sync): {vox_ms:.2f} ms/frame — runs on-device inside the "
-          f"fused program; the reference voxelizes on the host CPU inside "
-          f"every forward (~4.2 ms numba + H2D upload)", file=sys.stderr)
+    print(f"voxelization (point path, standalone, device-resident input, "
+          f"incl ~27ms RPC sync): {vox_ms:.2f} ms/frame — runs on-device "
+          f"inside the fused program; the reference voxelizes on the host "
+          f"CPU inside every forward (~4.2 ms numba + H2D upload)",
+          file=sys.stderr)
     extras["voxelize_standalone_ms"] = round(vox_ms, 2)
 
     # --- flagship training step (BASELINE.json config #3) -------------
@@ -247,6 +252,13 @@ def main():
             if cps > clouds_per_sec:
                 clouds_per_sec, best_b = cps, bsz
         except Exception as e:  # noqa: BLE001
+            # B=8 reproducibly crashes the platform's remote-compile
+            # helper (HTTP 500) with or without any Pallas kernel
+            # (tools/check_b8_compile.py bisect); a trivial program at
+            # the same 2.56e9-element grid shape compiles, so it is an
+            # op-specific compiler limit, not tensor size per se.  B=4
+            # compiles and batching gains nothing anyway (bytes-bound:
+            # B=2/4 measure slightly WORSE per cloud than B=1).
             extras[f"clouds_s_b{bsz}"] = f"failed: {type(e).__name__}"
             print(f"B={bsz} inference FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)

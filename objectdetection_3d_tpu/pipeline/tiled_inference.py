@@ -25,7 +25,7 @@ class TiledInference:
     """Sliding-window detector over scenes larger than the model range."""
 
     def __init__(self, model, variables, overlap=5.0, batch_tiles=1,
-                 max_merge_boxes=2048, predict_fn=None):
+                 max_merge_boxes=2048, predict_fn=None, device_crop=True):
         """
         Args:
             model: PointPillars detector.
@@ -34,12 +34,19 @@ class TiledInference:
                 are seen whole by at least one tile).
             batch_tiles: tiles run per device batch.
             max_merge_boxes: static budget for the global NMS merge.
+            device_crop: crop tiles on-device (upload the scene ONCE,
+                jitted window-mask + rank-scatter compaction per tile).
+                The host path masks/copies the candidate points per tile
+                in numpy — measured 7 s of a 10 s 25-tile/2M-pt scene on
+                a 1-vCPU host (bucket sort 2.9 s + crops 4.1 s), vs one
+                ~32 MB upload and ~milliseconds per tile on-device.
         """
         self.model = model
         self.variables = variables
         self.overlap = float(overlap)
         self.batch_tiles = int(batch_tiles)
         self.max_merge_boxes = int(max_merge_boxes)
+        self.device_crop = bool(device_crop)
         self._predict = predict_fn or model.make_predict_fn()
         self._merge = jax.jit(self._merge_fn)
         self._pack = jax.jit(lambda ps: {
@@ -118,6 +125,62 @@ class TiledInference:
             local = local[idx]
         return local
 
+    # ---- on-device tile cropping ------------------------------------
+    # The host crop paths above cost seconds of single-core numpy per
+    # large scene; these jitted programs replace them with ONE scene
+    # upload plus a window-mask + rank-scatter compaction per tile (the
+    # scatter stays unique-indexed, so it does not serialize on TPU).
+
+    @staticmethod
+    def _shuffle_scene(scene):
+        """One-time uniform row shuffle: per-tile truncation at the
+        static point budget then keeps a UNIFORM random subset of the
+        in-window points (the host path's ``rng.choice`` semantics)."""
+        perm = jax.random.permutation(jax.random.PRNGKey(0),
+                                      scene.shape[0])
+        return scene[perm]
+
+    @staticmethod
+    def _crop_device(scene, shift, pcr_lo, pcr_hi, max_pts):
+        """Compact the in-window rows of ``scene`` into a (max_pts, C)
+        buffer in model-local coordinates.
+
+        scene: (N, C) with xyz in the leading columns (padding rows carry
+        out-of-range coords).  shift: (3,) tile origin.  Returns
+        (points (max_pts, C), n) with n = min(#in-window, max_pts).
+        """
+        xyz = scene[:, :3]
+        m = jnp.all((xyz >= pcr_lo + shift) & (xyz < pcr_hi + shift),
+                    axis=1)
+        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
+        n_rows = scene.shape[0]
+        # masked rows get unique ascending ranks; everything else is
+        # routed out of bounds and dropped — unique indices, no
+        # serializing scatter
+        dest = jnp.where(m & (rank < max_pts), rank, n_rows + max_pts)
+        out = jnp.zeros((max_pts, scene.shape[1]), scene.dtype).at[
+            dest].set(scene, mode="drop", unique_indices=True)
+        local_xyz = out[:, :3] - shift
+        out = jnp.concatenate([local_xyz, out[:, 3:]], axis=1)
+        n = jnp.minimum(jnp.sum(m.astype(jnp.int32)), max_pts)
+        # zero the tail beyond n (scatter already leaves it zero, but the
+        # xyz shift above touched every row)
+        valid = (jnp.arange(max_pts) < n)[:, None]
+        return out * valid.astype(out.dtype), n
+
+    def _upload_scene(self, points):
+        """Pad the scene to a 256k-row bucket (bounds jit recompiles),
+        push it through the tunnel once, and shuffle on-device."""
+        n, c = points.shape
+        n_pad = max(-(-n // 262_144) * 262_144, 262_144)
+        up = np.full((n_pad, c), 0.0, np.float32)
+        up[:n] = points
+        up[n:, :3] = 1e9  # outside every window
+        scene = jax.device_put(up)
+        if not hasattr(self, "_shuffle_jit"):
+            self._shuffle_jit = jax.jit(self._shuffle_scene)
+        return self._shuffle_jit(scene)
+
     def __call__(self, points):
         """Detect over a full scene.
 
@@ -133,7 +196,6 @@ class TiledInference:
 
         xs = self._tile_origins(lo[0], hi[0], self.tile_x, self.overlap)
         ys = self._tile_origins(lo[1], hi[1], self.tile_y, self.overlap)
-        sorted_pts, starts, grid = self._bucket_sort(points, lo)
 
         max_pts = int(self.model.tpu_cfg["max_points_static"])
         max_gt = int(self.model.tpu_cfg["max_gt_static"])
@@ -141,6 +203,28 @@ class TiledInference:
 
         tiles = [(x0, y0) for x0 in xs for y0 in ys]
         all_boxes, all_scores, all_labels = [], [], []
+
+        if self.device_crop:
+            scene_dev = self._upload_scene(points)
+            if not hasattr(self, "_crop_jit"):
+                self._crop_jit = jax.jit(
+                    self._crop_device, static_argnames=("max_pts",))
+            pcr_lo = jnp.asarray(pcr[:3], jnp.float32)
+            pcr_hi = jnp.asarray(pcr[3:], jnp.float32)
+            # ONE upload for every tile origin: a per-tile jnp.asarray is
+            # a synchronous ~27 ms tunnel transfer, x25 tiles; slicing a
+            # device-resident array is an async dispatch instead
+            shifts_dev = jax.device_put(np.asarray(
+                [[x0, y0, lo[2]] for (x0, y0) in tiles], np.float32))
+            shift_of = {t: i for i, t in enumerate(tiles)}
+            zeros = {
+                "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
+                                    jnp.float32),
+                "labels": jnp.zeros((self.batch_tiles, max_gt), jnp.int32),
+                "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
+            }
+        else:
+            sorted_pts, starts, grid = self._bucket_sort(points, lo)
 
         # Enqueue every tile's predict before reading ANY result back:
         # jax dispatch is async, so the device works on tile t while the
@@ -153,23 +237,32 @@ class TiledInference:
             pad = self.batch_tiles - len(chunk)
             chunk = chunk + [chunk[-1]] * pad
 
-            batch_pts = np.zeros((self.batch_tiles, max_pts,
-                                  points.shape[1]), np.float32)
-            batch_n = np.zeros((self.batch_tiles,), np.int32)
-            for j, (x0, y0) in enumerate(chunk):
-                local = self._crop_tile(sorted_pts, starts, grid, lo,
-                                        pcr, x0, y0, max_pts)
-                batch_pts[j, :local.shape[0]] = local
-                batch_n[j] = local.shape[0]
-
-            batch = {
-                "points": jnp.asarray(batch_pts),
-                "num_points": jnp.asarray(batch_n),
-                "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
-                                    jnp.float32),
-                "labels": jnp.zeros((self.batch_tiles, max_gt), jnp.int32),
-                "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
-            }
+            if self.device_crop:
+                parts = [self._crop_jit(
+                    scene_dev, shifts_dev[shift_of[(x0, y0)]],
+                    pcr_lo, pcr_hi, max_pts=max_pts)
+                    for (x0, y0) in chunk]
+                batch = dict(zeros)
+                batch["points"] = jnp.stack([p for p, _ in parts])
+                batch["num_points"] = jnp.stack([n for _, n in parts])
+            else:
+                batch_pts = np.zeros((self.batch_tiles, max_pts,
+                                      points.shape[1]), np.float32)
+                batch_n = np.zeros((self.batch_tiles,), np.int32)
+                for j, (x0, y0) in enumerate(chunk):
+                    local = self._crop_tile(sorted_pts, starts, grid, lo,
+                                            pcr, x0, y0, max_pts)
+                    batch_pts[j, :local.shape[0]] = local
+                    batch_n[j] = local.shape[0]
+                batch = {
+                    "points": jnp.asarray(batch_pts),
+                    "num_points": jnp.asarray(batch_n),
+                    "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
+                                        jnp.float32),
+                    "labels": jnp.zeros((self.batch_tiles, max_gt),
+                                        jnp.int32),
+                    "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
+                }
             preds = self._predict(self.variables, batch)
             pending.append((chunk, pad, preds))
 

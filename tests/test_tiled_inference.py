@@ -44,7 +44,50 @@ def test_tile_origins_cover_scene(trained):
     assert len(ti._tile_origins(0.0, 5.0, 8.0, 2.0)) == 1
 
 
-def test_large_scene_detections_in_scene_frame(trained):
+def test_device_crop_matches_numpy_filter(trained):
+    """The jitted window crop = the plain numpy in-window filter (same
+    rows, local coordinates), padding zeroed, count exact."""
+    model, variables, _ = trained
+    ti = TiledInference(model, variables, overlap=2.0, max_merge_boxes=64)
+    rng = np.random.default_rng(3)
+    # spread chosen so the window holds ~70 of the 500 points (enough to
+    # exercise the truncation case below)
+    scene = np.concatenate(
+        [rng.uniform(0, 12, (500, 3)).astype(np.float32),
+         rng.uniform(0, 1, (500, 1)).astype(np.float32)], axis=1)
+    pcr = np.asarray(model.point_cloud_range, np.float32)
+    shift = np.array([4.0, 6.0, 0.0], np.float32)
+    max_pts = 256
+
+    got_pts, got_n = jax.jit(
+        ti._crop_device, static_argnames=("max_pts",))(
+        jnp.asarray(scene), jnp.asarray(shift),
+        jnp.asarray(pcr[:3]), jnp.asarray(pcr[3:]), max_pts=max_pts)
+    got_pts, got_n = np.asarray(got_pts), int(got_n)
+
+    sel = np.all((scene[:, :3] >= pcr[:3] + shift)
+                 & (scene[:, :3] < pcr[3:] + shift), axis=1)
+    want = scene[sel].copy()
+    want[:, :3] -= shift
+    assert got_n == len(want)
+    # scatter preserves scene order among selected rows
+    np.testing.assert_allclose(got_pts[:got_n], want, rtol=1e-6)
+    assert not np.any(got_pts[got_n:])
+
+    # truncation keeps max_pts in-window rows (a subset of `want`)
+    small = 8
+    tp, tn = jax.jit(ti._crop_device, static_argnames=("max_pts",))(
+        jnp.asarray(scene), jnp.asarray(shift),
+        jnp.asarray(pcr[:3]), jnp.asarray(pcr[3:]), max_pts=small)
+    tp, tn = np.asarray(tp), int(tn)
+    assert tn == small
+    want_set = {tuple(np.round(r, 5)) for r in want}
+    for r in tp[:tn]:
+        assert tuple(np.round(r, 5)) in want_set
+
+
+@pytest.mark.parametrize("device_crop", [True, False])
+def test_large_scene_detections_in_scene_frame(trained, device_crop):
     model, variables, batch = trained
     predict = model.make_predict_fn()
     base = predict(variables, batch)
@@ -58,7 +101,7 @@ def test_large_scene_detections_in_scene_frame(trained):
     scene = np.concatenate([pts, shifted]) + [30.0, 10.0, 5.0, 0.0]
 
     ti = TiledInference(model, variables, overlap=2.0, predict_fn=predict,
-                        max_merge_boxes=64)
+                        max_merge_boxes=64, device_crop=device_crop)
     dets = ti(scene)
     assert len(dets) > 0
     boxes = np.stack([d["bbox"] for d in dets])

@@ -2,6 +2,7 @@
 
 Usage: python tools/profile_stages.py [section ...]
 Sections: vox fwd pfn pointpfn scatter2 enc encz fwdz s1parts rpn tail
+          zfoldin
           s1 sparse train trainz batched zf
 Each timing is a separate jit program; first call includes (remote) compile.
 Timings use a forced scalar readback (block_until_ready no-ops on axon);
@@ -711,3 +712,72 @@ if "zf" in SECTIONS:
     for zb in (4, 6, 10):
         timed(f"s1 zfold strided-conv3d zb={zb}",
               jax.jit(lambda x, k, z=zb: fold_strided(x, k, z)), grid, kern)
+
+if "zfoldin" in SECTIONS:
+    # How much of the z-folded stage-1 subm conv is the INPUT fold
+    # relayout (pad + stack + transpose + reshape of the full grid)?
+    # If it is a large share, a folded-layout grid scatter (writing the
+    # (dblk, H, W, (zb+2)C) buffer directly from voxel features) would
+    # save a full round trip over the largest tensor.
+    grid, mask = synth_grid(20)
+    kern = jnp.asarray(
+        np.random.standard_normal((3, 3, 3, 20, 20)) * 0.1, BF)
+    ZB = 4
+
+    def fold_input(x, zb=ZB):
+        b, d, h, w, c = x.shape
+        dblk = -(-d // zb)
+        dpad = dblk * zb
+        xp = jnp.pad(x, ((0, 0), (1, dpad - d + 1), (0, 0), (0, 0),
+                         (0, 0)))
+        xo = jnp.stack([xp[:, k * zb:k * zb + zb + 2]
+                        for k in range(dblk)], axis=1)
+        return jnp.transpose(xo, (0, 1, 3, 4, 2, 5)).reshape(
+            b * dblk, h, w, (zb + 2) * c)
+
+    def banded_kernel(kernel, zb=ZB):
+        c, co = kernel.shape[-2], kernel.shape[-1]
+        kf = jnp.zeros((3, 3, (zb + 2) * c, zb * co), kernel.dtype)
+        for a in range(zb):
+            for dz in range(3):
+                j = a + dz
+                kf = kf.at[:, :, j * c:(j + 1) * c,
+                           a * co:(a + 1) * co].set(kernel[dz])
+        return kf
+
+    def conv_on_folded(xo, kf):
+        return jax.lax.conv_general_dilated(
+            xo, kf, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def unfold_output(y, d, co, zb=ZB):
+        bd, h, w, _ = y.shape
+        dblk = bd  # b = 1
+        y = y.reshape(1, dblk, h, w, zb, co)
+        y = jnp.transpose(y, (0, 1, 4, 2, 3, 5)).reshape(
+            1, dblk * zb, h, w, co)
+        return y[:, :d]
+
+    def full_zfold(x, kernel):
+        xo = fold_input(x)
+        y = conv_on_folded(xo, banded_kernel(kernel).astype(x.dtype))
+        return unfold_output(y, x.shape[1], kernel.shape[-1])
+
+    timed("s1 zfold FULL (fold+conv+unfold)", jax.jit(full_zfold),
+          grid, kern)
+
+    xo_dev = jax.jit(fold_input)(grid)
+    sync(xo_dev)
+    kf_dev = jax.jit(lambda k: banded_kernel(k).astype(BF))(kern)
+    sync(kf_dev)
+    print(f"folded input: {xo_dev.shape} {xo_dev.dtype}", flush=True)
+
+    timed("s1 conv on PRE-FOLDED input", jax.jit(conv_on_folded),
+          xo_dev, kf_dev)
+
+    def conv_unfold(xo, kf):
+        return unfold_output(conv_on_folded(xo, kf), 100, 20)
+
+    timed("s1 conv+unfold on PRE-FOLDED input", jax.jit(conv_unfold),
+          xo_dev, kf_dev)
+    timed("s1 fold_input alone", jax.jit(fold_input), grid)
