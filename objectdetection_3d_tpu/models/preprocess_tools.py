@@ -285,7 +285,10 @@ class ForegroundFilter:
                 self.foreground_filter = xgb.Booster()
                 self.foreground_filter.load_model(model_path)
                 self._xgb_native = True
-            except ImportError:
+            except Exception:
+                # missing xgboost library, OR an installed xgboost too old
+                # to read this file (e.g. a *.json saved by a newer
+                # version): the numpy evaluator can still read JSON models
                 from objectdetection_3d_tpu.models.xgb_infer import (
                     NumpyBooster)
 

@@ -46,13 +46,30 @@ class _Tree:
         self.depth = self._max_depth()
 
     def _max_depth(self):
-        depth = np.zeros(len(self.left), np.int32)
-        order = range(len(self.left))
-        for nid in order:  # parents precede children in xgboost layout
-            for child in (self.left[nid], self.right[nid]):
-                if child >= 0:
-                    depth[child] = depth[nid] + 1
-        return int(depth.max()) + 1 if len(depth) else 1
+        """Longest root->leaf path by traversal from the root.
+
+        Node ids are NOT assumed to be in parent-before-child order:
+        trees with recycled deleted node slots (pruning,
+        tree_param.num_deleted > 0) can place a child at a lower id than
+        its parent, which would make a single id-order sweep
+        underestimate depth and stop predict() at interior nodes.
+        """
+        if not len(self.left):
+            return 1
+        depth = 1
+        frontier = [0]
+        while frontier:
+            nxt = []
+            for nid in frontier:
+                for child in (self.left[nid], self.right[nid]):
+                    if child >= 0:
+                        nxt.append(int(child))
+            if nxt:
+                depth += 1
+                if depth > len(self.left):
+                    raise ValueError("malformed tree: cycle detected")
+            frontier = nxt
+        return depth
 
     def predict(self, x):
         """(N, F) float array (NaN = missing) -> (N,) leaf values."""
@@ -96,11 +113,13 @@ class NumpyBooster:
 
         learner = doc["learner"]
         booster_kind = learner["gradient_booster"].get("name", "gbtree")
-        if booster_kind not in ("gbtree", "dart"):
-            raise ValueError("unsupported booster {!r}".format(booster_kind))
+        if booster_kind != "gbtree":
+            # dart would need per-tree weight_drop scaling of each tree's
+            # output; summing raw leaves silently predicts wrong values
+            raise ValueError("unsupported booster {!r} (only gbtree; dart "
+                             "weight_drop scaling is not implemented)"
+                             .format(booster_kind))
         model = learner["gradient_booster"]["model"]
-        if booster_kind == "dart":
-            model = model["gbtree"]
 
         trees = [_Tree(t) for t in model["trees"]]
         for t in model["trees"]:
@@ -108,8 +127,11 @@ class NumpyBooster:
                 raise ValueError("categorical splits are not supported")
 
         lmp = learner["learner_model_param"]
+        # xgboost stores num_class=0 for binary models; any num_class >= 2
+        # (multi:softmax/softprob allows num_class=2) means per-class tree
+        # groups + softmax, which this evaluator does not implement
         n_class = int(lmp.get("num_class", "0") or "0")
-        if n_class > 2:
+        if n_class >= 2:
             raise ValueError("multiclass boosters are not supported")
         objective = learner["objective"]["name"]
         return cls(trees, float(lmp["base_score"]), objective,

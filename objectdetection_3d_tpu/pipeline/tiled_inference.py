@@ -35,11 +35,14 @@ class TiledInference:
             batch_tiles: tiles run per device batch.
             max_merge_boxes: static budget for the global NMS merge.
             device_crop: crop tiles on-device (upload the scene ONCE,
-                jitted window-mask + rank-scatter compaction per tile).
+                one device bucket-sort, then per tile a few static
+                dynamic-slice reads of only that tile's candidate rows).
                 The host path masks/copies the candidate points per tile
-                in numpy — measured 7 s of a 10 s 25-tile/2M-pt scene on
-                a 1-vCPU host (bucket sort 2.9 s + crops 4.1 s), vs one
-                ~32 MB upload and ~milliseconds per tile on-device.
+                in numpy and uploads ~19 MB per tile — measured ~9 s of
+                a 12 s 25-tile/2M-pt scene on a 1-vCPU host.  The
+                round-4 on-device crop instead paid a full-scene scatter
+                compaction PER TILE (~190 ms x 25 on a 2M-row scene);
+                the sorted-run crop touches O(tile) rows per tile.
         """
         self.model = model
         self.variables = variables
@@ -126,60 +129,79 @@ class TiledInference:
         return local
 
     # ---- on-device tile cropping ------------------------------------
-    # The host crop paths above cost seconds of single-core numpy per
-    # large scene; these jitted programs replace them with ONE scene
-    # upload plus a window-mask + rank-scatter compaction per tile (the
-    # scatter stays unique-indexed, so it does not serialize on TPU).
+    # The host crop path costs seconds of single-core numpy plus a
+    # ~19 MB tunnel upload per tile; the round-4 on-device crop fixed
+    # the uploads but paid a full-scene scatter compaction PER TILE
+    # (~25x a 2M-row scatter, the dominant cost of the 7 s scene).
+    # This path instead sorts the scene by tile-stride bucket ONCE on
+    # device; each tile is then R static dynamic-slice reads of ONLY its
+    # own candidate rows.  No mask, no rank, no scatter: candidate rows
+    # outside the tile window land outside the model's point_cloud_range
+    # after the shift and self-filter in the voxelizer's range check
+    # (ops/voxelize.py `in_range` — the same check that drops the
+    # reference's out-of-range points, model/PointPillars.py:251-255).
 
     @staticmethod
-    def _shuffle_scene(scene):
-        """One-time uniform row shuffle: per-tile truncation at the
-        static point budget then keeps a UNIFORM random subset of the
-        in-window points (the host path's ``rng.choice`` semantics)."""
+    def _sort_scene(scene, lo, sxy, *, nbx, nby):
+        """Shuffle + stable-sort the scene rows by stride-bucket id.
+
+        The up-front uniform shuffle makes any later truncation at the
+        static run budget a UNIFORM random subset of a tile's points
+        (the host path's ``rng.choice`` semantics).  Padding rows
+        (xyz ~1e9) sort into a trailing sentinel bucket.
+        """
         perm = jax.random.permutation(jax.random.PRNGKey(0),
                                       scene.shape[0])
-        return scene[perm]
+        scene = scene[perm]
+        xyz = scene[:, :3]
+        in_scene = jnp.all(xyz < 1e8, axis=1)
+        bx = jnp.clip(jnp.floor((xyz[:, 0] - lo[0]) / sxy[0]),
+                      0, nbx - 1).astype(jnp.int32)
+        by = jnp.clip(jnp.floor((xyz[:, 1] - lo[1]) / sxy[1]),
+                      0, nby - 1).astype(jnp.int32)
+        bid = jnp.where(in_scene, bx * nby + by, nbx * nby)
+        order = jnp.argsort(bid, stable=True)
+        sorted_bid = bid[order]
+        starts = jnp.searchsorted(sorted_bid,
+                                  jnp.arange(nbx * nby + 1))
+        return scene[order], starts
 
     @staticmethod
-    def _crop_device(scene, shift, pcr_lo, pcr_hi, max_pts):
-        """Compact the in-window rows of ``scene`` into a (max_pts, C)
-        buffer in model-local coordinates.
+    def _crop_runs(sorted_scene, run_starts, run_lens, shift, *, n_runs,
+                   rb, p_budget):
+        """Assemble one tile's (p_budget, C) point buffer from its
+        bucket runs — ``n_runs`` static dynamic-slices of ``rb`` rows.
 
-        scene: (N, C) with xyz in the leading columns (padding rows carry
-        out-of-range coords).  shift: (3,) tile origin.  Returns
-        (points (max_pts, C), n) with n = min(#in-window, max_pts).
+        Rows sliced beyond a run's true length are masked to sentinel
+        coords (they can belong to the NEXT x-column's buckets, whose
+        in-window rows are already delivered by that column's own run —
+        keeping them would duplicate points).  Unused run slots point at
+        the trailing sentinel-pad region with length 0.
         """
-        xyz = scene[:, :3]
-        m = jnp.all((xyz >= pcr_lo + shift) & (xyz < pcr_hi + shift),
-                    axis=1)
-        rank = jnp.cumsum(m.astype(jnp.int32)) - 1
-        n_rows = scene.shape[0]
-        # masked rows get unique ascending ranks; everything else is
-        # routed out of bounds and dropped — unique indices, no
-        # serializing scatter
-        dest = jnp.where(m & (rank < max_pts), rank, n_rows + max_pts)
-        out = jnp.zeros((max_pts, scene.shape[1]), scene.dtype).at[
-            dest].set(scene, mode="drop", unique_indices=True)
-        local_xyz = out[:, :3] - shift
-        out = jnp.concatenate([local_xyz, out[:, 3:]], axis=1)
-        n = jnp.minimum(jnp.sum(m.astype(jnp.int32)), max_pts)
-        # zero the tail beyond n (scatter already leaves it zero, but the
-        # xyz shift above touched every row)
-        valid = (jnp.arange(max_pts) < n)[:, None]
-        return out * valid.astype(out.dtype), n
+        c = sorted_scene.shape[1]
+        row = jnp.arange(rb)[:, None]
+        cand = jnp.concatenate(
+            [jnp.where(
+                row < run_lens[i],
+                jax.lax.dynamic_slice(sorted_scene, (run_starts[i], 0),
+                                      (rb, c)),
+                jnp.float32(1e9))
+             for i in range(n_runs)], axis=0)
+        local = jnp.concatenate([cand[:, :3] - shift, cand[:, 3:]],
+                                axis=1)
+        pad = jnp.full((p_budget - n_runs * rb, c), 1e9,
+                       sorted_scene.dtype)
+        return jnp.concatenate([local, pad], axis=0)
 
     def _upload_scene(self, points):
-        """Pad the scene to a 256k-row bucket (bounds jit recompiles),
-        push it through the tunnel once, and shuffle on-device."""
+        """Pad the scene to a 256k-row bucket (bounds jit recompiles)
+        and push it through the tunnel once (~32 MB for 2M points)."""
         n, c = points.shape
         n_pad = max(-(-n // 262_144) * 262_144, 262_144)
         up = np.full((n_pad, c), 0.0, np.float32)
         up[:n] = points
         up[n:, :3] = 1e9  # outside every window
-        scene = jax.device_put(up)
-        if not hasattr(self, "_shuffle_jit"):
-            self._shuffle_jit = jax.jit(self._shuffle_scene)
-        return self._shuffle_jit(scene)
+        return jax.device_put(up)
 
     def __call__(self, points):
         """Detect over a full scene.
@@ -205,18 +227,75 @@ class TiledInference:
         all_boxes, all_scores, all_labels = [], [], []
 
         if self.device_crop:
+            sx = max(self.tile_x - self.overlap, self.tile_x * 0.5)
+            sy = max(self.tile_y - self.overlap, self.tile_y * 0.5)
+            nbx = max(int(np.floor((hi[0] - lo[0]) / sx)) + 1, 1)
+            nby = max(int(np.floor((hi[1] - lo[1]) / sy)) + 1, 1)
             scene_dev = self._upload_scene(points)
-            if not hasattr(self, "_crop_jit"):
+            if not hasattr(self, "_sort_jit"):
+                self._sort_jit = jax.jit(
+                    self._sort_scene, static_argnames=("nbx", "nby"))
                 self._crop_jit = jax.jit(
-                    self._crop_device, static_argnames=("max_pts",))
-            pcr_lo = jnp.asarray(pcr[:3], jnp.float32)
-            pcr_hi = jnp.asarray(pcr[3:], jnp.float32)
-            # ONE upload for every tile origin: a per-tile jnp.asarray is
-            # a synchronous ~27 ms tunnel transfer, x25 tiles; slicing a
-            # device-resident array is an async dispatch instead
+                    self._crop_runs,
+                    static_argnames=("n_runs", "rb", "p_budget"))
+            sorted_dev, starts_dev = self._sort_jit(
+                scene_dev, jnp.asarray(lo, jnp.float32),
+                jnp.asarray([sx, sy], jnp.float32), nbx=nbx, nby=nby)
+            starts = np.asarray(jax.device_get(starts_dev))
+            n_sorted = int(sorted_dev.shape[0])
+
+            # per-tile bucket runs (start, length) from the host copy of
+            # the bucket boundaries: a tile's candidate rows are the
+            # contiguous (cx, by0..by1) ranges of the sorted scene
+            tile_runs, max_run, max_nruns = [], 1, 1
+            for (x0, y0) in tiles:
+                bx0 = max(int(np.floor((x0 - lo[0]) / sx)), 0)
+                bx1 = min(int(np.floor((x0 + self.tile_x - lo[0]) / sx)),
+                          nbx - 1)
+                by0 = max(int(np.floor((y0 - lo[1]) / sy)), 0)
+                by1 = min(int(np.floor((y0 + self.tile_y - lo[1]) / sy)),
+                          nby - 1)
+                runs = []
+                for cx in range(bx0, bx1 + 1):
+                    s = int(starts[cx * nby + by0])
+                    e = int(starts[cx * nby + by1 + 1])
+                    runs.append((s, e - s))
+                tile_runs.append(runs)
+                max_run = max(max_run, max(ln for _, ln in runs))
+                max_nruns = max(max_nruns, len(runs))
+
+            # static run budget: cover the longest run, quantized so
+            # small scene-to-scene count changes reuse the compiled
+            # crop; clamped so n_runs * rb fits the model's point
+            # budget (over-budget runs truncate to a uniform random
+            # subset via the up-front shuffle)
+            quantum = 8192 if max_run > 4096 else 64
+            rb = -(-max_run // quantum) * quantum
+            rb = min(rb, max(max_pts // max_nruns // 8 * 8, 8))
+            n_tile_pts = int(min(max_nruns * rb, max_pts))
+
+            # trailing sentinel block: unused run slots point here, and
+            # slices of short final runs stay in bounds without clamping
+            # (a clamped dynamic_slice start would re-read foreign rows)
+            sorted_dev = jnp.concatenate(
+                [sorted_dev,
+                 jnp.full((rb, points.shape[1]), 1e9, jnp.float32)],
+                axis=0)
+            run_starts_np = np.full((len(tiles), max_nruns), n_sorted,
+                                    np.int32)
+            run_lens_np = np.zeros((len(tiles), max_nruns), np.int32)
+            for t, runs in enumerate(tile_runs):
+                for r, (s, ln) in enumerate(runs):
+                    run_starts_np[t, r] = s
+                    run_lens_np[t, r] = ln
+            # ONE upload for all tiles' parameters: per-tile host arrays
+            # would each be a synchronous tunnel transfer
+            run_starts_dev = jax.device_put(run_starts_np)
+            run_lens_dev = jax.device_put(run_lens_np)
             shifts_dev = jax.device_put(np.asarray(
                 [[x0, y0, lo[2]] for (x0, y0) in tiles], np.float32))
             shift_of = {t: i for i, t in enumerate(tiles)}
+            num_dev = jnp.full((self.batch_tiles,), n_tile_pts, jnp.int32)
             zeros = {
                 "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
                                     jnp.float32),
@@ -239,12 +318,14 @@ class TiledInference:
 
             if self.device_crop:
                 parts = [self._crop_jit(
-                    scene_dev, shifts_dev[shift_of[(x0, y0)]],
-                    pcr_lo, pcr_hi, max_pts=max_pts)
+                    sorted_dev, run_starts_dev[shift_of[(x0, y0)]],
+                    run_lens_dev[shift_of[(x0, y0)]],
+                    shifts_dev[shift_of[(x0, y0)]],
+                    n_runs=max_nruns, rb=rb, p_budget=max_pts)
                     for (x0, y0) in chunk]
                 batch = dict(zeros)
-                batch["points"] = jnp.stack([p for p, _ in parts])
-                batch["num_points"] = jnp.stack([n for _, n in parts])
+                batch["points"] = jnp.stack(parts)
+                batch["num_points"] = num_dev
             else:
                 batch_pts = np.zeros((self.batch_tiles, max_pts,
                                       points.shape[1]), np.float32)
@@ -284,9 +365,18 @@ class TiledInference:
 
         if not all_boxes or sum(len(b) for b in all_boxes) == 0:
             return []
-        boxes = np.concatenate(all_boxes)[: self.max_merge_boxes]
-        scores = np.concatenate(all_scores)[: self.max_merge_boxes]
-        labels = np.concatenate(all_labels)[: self.max_merge_boxes]
+        boxes = np.concatenate(all_boxes)
+        scores = np.concatenate(all_scores)
+        labels = np.concatenate(all_labels)
+        if len(boxes) > self.max_merge_boxes:
+            # Over the static merge budget: keep the TOP-SCORING
+            # candidates.  A cut in tile order silently drops
+            # high-scoring detections from later tiles before the global
+            # NMS (the reference's global suppression is score-sorted,
+            # model/utils.py:398-424).
+            top = np.argsort(-scores, kind="stable")[: self.max_merge_boxes]
+            top.sort()  # keep tile order among the survivors
+            boxes, scores, labels = boxes[top], scores[top], labels[top]
 
         n = self.max_merge_boxes
         pb = np.zeros((n, 9), np.float32)

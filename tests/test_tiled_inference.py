@@ -45,45 +45,58 @@ def test_tile_origins_cover_scene(trained):
 
 
 def test_device_crop_matches_numpy_filter(trained):
-    """The jitted window crop = the plain numpy in-window filter (same
-    rows, local coordinates), padding zeroed, count exact."""
+    """The sorted-run device crop delivers, per tile, exactly the numpy
+    in-window point set (as a multiset — the uniformizing shuffle
+    reorders rows), in local coordinates; every other delivered row is
+    out of the model range (the voxelizer's drop contract)."""
     model, variables, _ = trained
-    ti = TiledInference(model, variables, overlap=2.0, max_merge_boxes=64)
+    recorded = []
+
+    def stub_predict(vars_, batch):
+        recorded.append((np.asarray(batch["points"]),
+                         np.asarray(batch["num_points"])))
+        bsz = batch["points"].shape[0]
+        return {"bbox": jnp.zeros((bsz, 4, 9), jnp.float32),
+                "score": jnp.zeros((bsz, 4), jnp.float32),
+                "label": jnp.zeros((bsz, 4), jnp.int32),
+                "valid": jnp.zeros((bsz, 4), bool)}
+
+    # density chosen so no run exceeds the tiny model's clamped run
+    # budget (truncation is exercised separately — it is by-design a
+    # uniform subsample, which would break the exact multiset compare)
     rng = np.random.default_rng(3)
-    # spread chosen so the window holds ~70 of the 500 points (enough to
-    # exercise the truncation case below)
     scene = np.concatenate(
-        [rng.uniform(0, 12, (500, 3)).astype(np.float32),
-         rng.uniform(0, 1, (500, 1)).astype(np.float32)], axis=1)
+        [rng.uniform([0, 0, 0], [20, 14, 3], (1800, 3)),
+         rng.uniform(0, 1, (1800, 1))], axis=1).astype(np.float32)
+    ti = TiledInference(model, variables, overlap=2.0,
+                        predict_fn=stub_predict, max_merge_boxes=64)
+    assert ti(scene) == []  # stub emits no detections
+
     pcr = np.asarray(model.point_cloud_range, np.float32)
-    shift = np.array([4.0, 6.0, 0.0], np.float32)
-    max_pts = 256
+    lo = scene[:, :3].min(0)
+    xs = ti._tile_origins(lo[0], scene[:, 0].max(), ti.tile_x, ti.overlap)
+    ys = ti._tile_origins(lo[1], scene[:, 1].max(), ti.tile_y, ti.overlap)
+    tiles = [(x0, y0) for x0 in xs for y0 in ys]
+    assert len(tiles) >= 4  # multi-tile scene, multi-run tiles
 
-    got_pts, got_n = jax.jit(
-        ti._crop_device, static_argnames=("max_pts",))(
-        jnp.asarray(scene), jnp.asarray(shift),
-        jnp.asarray(pcr[:3]), jnp.asarray(pcr[3:]), max_pts=max_pts)
-    got_pts, got_n = np.asarray(got_pts), int(got_n)
+    got_tiles = []
+    for pts, num in recorded:
+        for j in range(pts.shape[0]):
+            got_tiles.append((pts[j], int(num[j])))
+    got_tiles = got_tiles[: len(tiles)]  # padded chunk tails drop
 
-    sel = np.all((scene[:, :3] >= pcr[:3] + shift)
-                 & (scene[:, :3] < pcr[3:] + shift), axis=1)
-    want = scene[sel].copy()
-    want[:, :3] -= shift
-    assert got_n == len(want)
-    # scatter preserves scene order among selected rows
-    np.testing.assert_allclose(got_pts[:got_n], want, rtol=1e-6)
-    assert not np.any(got_pts[got_n:])
-
-    # truncation keeps max_pts in-window rows (a subset of `want`)
-    small = 8
-    tp, tn = jax.jit(ti._crop_device, static_argnames=("max_pts",))(
-        jnp.asarray(scene), jnp.asarray(shift),
-        jnp.asarray(pcr[:3]), jnp.asarray(pcr[3:]), max_pts=small)
-    tp, tn = np.asarray(tp), int(tn)
-    assert tn == small
-    want_set = {tuple(np.round(r, 5)) for r in want}
-    for r in tp[:tn]:
-        assert tuple(np.round(r, 5)) in want_set
+    for (x0, y0), (pts, n) in zip(tiles, got_tiles):
+        shift = np.array([x0, y0, lo[2]], np.float32)
+        body = pts[:n]
+        inw = np.all((body[:, :3] >= pcr[:3]) & (body[:, :3] < pcr[3:]),
+                     axis=1)
+        got = sorted(map(tuple, np.round(body[inw], 4)))
+        sel = np.all((scene[:, :3] >= pcr[:3] + shift)
+                     & (scene[:, :3] < pcr[3:] + shift), axis=1)
+        want = scene[sel].copy()
+        want[:, :3] -= shift
+        want = sorted(map(tuple, np.round(want, 4)))
+        assert got == want, (x0, y0, len(got), len(want))
 
 
 @pytest.mark.parametrize("device_crop", [True, False])
@@ -130,6 +143,54 @@ def test_merge_suppresses_duplicates(trained):
     keep = np.asarray(ti._merge(jnp.asarray(pb), jnp.asarray(ps),
                                 jnp.asarray(pl), jnp.asarray(pv)))
     assert keep[0] and not keep[1]
+
+
+def test_merge_truncation_keeps_top_scores(trained):
+    """When cross-tile candidates exceed max_merge_boxes, the cut keeps
+    the TOP-SCORING boxes — a tile-order cut would silently drop
+    high-scoring detections from later tiles before the global NMS
+    (reference global suppression is score-sorted, model/utils.py:398-424).
+    """
+    model, variables, _ = trained
+    calls = {"n": 0}
+    D = 40  # detections per tile emitted by the stub
+
+    def stub_predict(vars_, batch):
+        # scores increase monotonically with tile index: the LAST tile
+        # holds the globally best detections
+        k = calls["n"]
+        calls["n"] += 1
+        bbox = np.zeros((1, D, 9), np.float32)
+        bbox[0, :, 0] = 0.3 + 0.19 * np.arange(D)
+        bbox[0, :, 1] = 1.0 + 0.53 * k
+        bbox[0, :, 2] = 0.2
+        bbox[0, :, 3:6] = [0.1, 0.1, 1.0]
+        score = (0.5 + 0.004 * (D * k + np.arange(D)))[None]
+        return {"bbox": jnp.asarray(bbox),
+                "score": jnp.asarray(score.astype(np.float32)),
+                "label": jnp.zeros((1, D), jnp.int32),
+                "valid": jnp.ones((1, D), bool)}
+
+    rng = np.random.default_rng(0)
+    scene = np.concatenate([
+        rng.uniform([0, 0, 0], [20, 8, 3], (2000, 3)),
+        rng.uniform(0, 1, (2000, 1))], axis=1).astype(np.float32)
+
+    ti = TiledInference(model, variables, overlap=2.0,
+                        predict_fn=stub_predict, max_merge_boxes=64,
+                        device_crop=False)
+    dets = ti(scene)
+    n_tiles = calls["n"]
+    assert n_tiles * D > ti.max_merge_boxes  # truncation engaged
+    all_scores = 0.5 + 0.004 * np.arange(n_tiles * D)
+
+    got = np.sort([float(d["score"]) for d in dets])
+    # disjoint boxes: nothing NMS-suppressed, so exactly the budget
+    assert len(got) == ti.max_merge_boxes
+    # the global best (from the LAST tile) survives ...
+    assert np.isclose(got.max(), all_scores[-1], atol=1e-5)
+    # ... and every survivor is inside the global top-64 by score
+    assert got.min() >= all_scores[-ti.max_merge_boxes] - 1e-5
 
 
 def test_tiled_inference_shards_tiles_across_mesh(trained):
