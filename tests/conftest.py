@@ -40,6 +40,7 @@ SMOKE_MODULES = {
     "test_gt_sampling",
     "test_losses",
     "test_metrics",
+    "test_metrics_ref_parity",
     "test_nms",
     "test_prepare_data",
     "test_voxelize",
