@@ -168,13 +168,66 @@ def make_spatial_predict_fn(model, mesh, data_axis="data",
     return run
 
 
-def make_sharded_eval_fn(model, mesh, axis_name="data"):
+def _island_forward(model, mesh, axis_name, pallas):
+    """Eval-mode forward (voxelize -> head outputs) as a ``shard_map``
+    island over the batch axis.
+
+    Eval forward is per-item independent — batch norm reads running stats,
+    so no cross-device reduction exists anywhere in it.  Running it inside
+    ``shard_map`` (each device traces a LOCAL-batch program) instead of
+    under GSPMD keeps every Pallas kernel live on the mesh path: Mosaic
+    custom calls never reach the partitioner, which has no rule for them.
+    This is the same island technique round 4 proved for the training
+    assignment (models/detector.py loss(assign_shard=...)); round-4 left
+    mesh inference paying the XLA lowerings (grid scatter alone: 45.7 ms
+    XLA vs 20.3 ms Pallas, ROADMAP.md).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fwd(variables, points, num_points):
+        outs, _ = model.apply(
+            variables, {"points": points, "num_points": num_points},
+            train=False, pallas=pallas)
+        return outs
+
+    def forward(variables, batch):
+        # check_vma=False: replicated variables mix with sharded batch
+        # operands inside the voxelizer's scans (same waiver as the
+        # assignment island, models/detector.py)
+        return shard_map(
+            fwd, mesh=mesh,
+            in_specs=(P(), P(axis_name), P(axis_name)),
+            out_specs=P(axis_name), check_vma=False,
+        )(variables, batch["points"], batch["num_points"])
+
+    return forward
+
+
+def make_sharded_eval_fn(model, mesh, axis_name="data", pallas="auto"):
     """Data-parallel eval: losses + decoded detections, batch sharded.
-    Jits the same closure as ``model.make_eval_fn``."""
+
+    The forward runs in a per-device ``shard_map`` island (Pallas kernels
+    stay live, see :func:`_island_forward`); the losses — whose
+    ``avg_factor`` reductions are GLOBAL batch sums — stay under GSPMD,
+    which lowers them to psums, and the assignment reopens its own island
+    via ``assign_shard`` exactly as mesh training does.
+    """
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
+    forward = _island_forward(model, mesh, axis_name, pallas)
 
-    jitted = jax.jit(model.eval_step_fn(pallas="off"),
+    def eval_step(variables, batch, anchors, anchor_aabb):
+        outs = forward(variables, batch)
+        losses = model.loss(outs, batch, anchors, anchor_aabb,
+                            pallas="off",
+                            assign_shard=(mesh, axis_name))
+        cls, reg, dirs = outs
+        preds = jax.vmap(model._predict_single,
+                         in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
+        return losses, preds
+
+    jitted = jax.jit(eval_step,
                      in_shardings=(repl, bsh, repl, repl),
                      out_shardings=(repl, bsh))
 
@@ -184,14 +237,23 @@ def make_sharded_eval_fn(model, mesh, axis_name="data"):
     return run
 
 
-def make_sharded_predict_fn(model, mesh, axis_name="data"):
+def make_sharded_predict_fn(model, mesh, axis_name="data", pallas="auto"):
     """Data-parallel inference: variables replicated, batch + detections
-    sharded over the batch dimension."""
+    sharded over the batch dimension.
+
+    The voxelize->head forward runs inside a ``shard_map`` island so the
+    Pallas kernels (voxel scan, grid scatter, fused stages) stay live per
+    device (see :func:`_island_forward`); decode + NMS are plain XLA and
+    partition over the batch under GSPMD as before.
+    """
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
+    forward = _island_forward(model, mesh, axis_name, pallas)
 
     def predict(variables, batch, anchors):
-        return model.predict(variables, batch, anchors, pallas="off")
+        cls, reg, dirs = forward(variables, batch)
+        return jax.vmap(model._predict_single,
+                        in_axes=(0, 0, 0, None))(cls, reg, dirs, anchors)
 
     jitted = jax.jit(predict, in_shardings=(repl, bsh, repl),
                      out_shardings=bsh)

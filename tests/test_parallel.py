@@ -218,3 +218,45 @@ def test_sharded_step_with_pallas_assignment_matches_single_chip():
                     jax.tree_util.tree_leaves(s8["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_island_predict_matches_single_device(setup):
+    """VERDICT r4 #6: mesh predict runs its forward in a shard_map island
+    (Pallas kernels stay live per device on TPU) — the islanded program
+    must match the single-device predict exactly."""
+    model, variables, tx = setup
+    mesh = make_mesh(8)
+    predict = make_sharded_predict_fn(model, mesh)  # pallas="auto" default
+    batch = to_device(tiny_batch(batch_size=8, seed=21))
+    pv = {"params": variables["params"],
+          "batch_stats": variables["batch_stats"]}
+    got = predict(pv, batch)
+    want = model.make_predict_fn()(pv, batch)
+    np.testing.assert_allclose(np.asarray(got["score"]),
+                               np.asarray(want["score"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got["label"]),
+                                  np.asarray(want["label"]))
+    np.testing.assert_allclose(np.asarray(got["bbox"]),
+                               np.asarray(want["bbox"]), atol=1e-3)
+
+
+def test_island_eval_matches_single_device(setup):
+    """Sharded eval (islanded forward + GSPMD losses + islanded
+    assignment) must reproduce single-device losses and detections."""
+    from objectdetection_3d_tpu.parallel import make_sharded_eval_fn
+
+    model, variables, tx = setup
+    mesh = make_mesh(8)
+    evalf = make_sharded_eval_fn(model, mesh)
+    batch = to_device(tiny_batch(batch_size=8, seed=22))
+    pv = {"params": variables["params"],
+          "batch_stats": variables["batch_stats"]}
+    losses8, preds8 = evalf(pv, batch)
+    losses1, preds1 = model.make_eval_fn()(pv, batch)
+    for k in losses1:
+        np.testing.assert_allclose(float(losses1[k]), float(losses8[k]),
+                                   rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(preds8["score"]),
+                               np.asarray(preds1["score"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(preds8["bbox"]),
+                               np.asarray(preds1["bbox"]), atol=1e-3)
