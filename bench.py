@@ -35,7 +35,6 @@ conservative; stderr carries the raw component timings.
 
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -60,7 +59,26 @@ BASELINE_COMPONENTS_MS = {
 }
 
 TRAINED_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "artifacts", "overfit_ckpt.pkl")
+                            "artifacts", "overfit_ckpt.npz")
+
+
+def load_trained_ckpt(path=None):
+    """Load the overfit scorecard checkpoint (flat ``a/b/c`` npz keys ->
+    nested pytree; npz instead of pickle so the committed artifact is not
+    code-execution-on-load)."""
+    with np.load(path or TRAINED_CKPT) as z:
+        out = {}
+        for key in z.files:
+            if key in ("score_thr", "provenance"):
+                out[key] = z[key][()]
+                continue
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    out["score_thr"] = float(out.get("score_thr", 0.3))
+    return out
 
 
 def _tree_scene(extent=160.0, n_trees=80, n_noise=1_700_000, seed=0):
@@ -229,13 +247,19 @@ def main():
             t0 = time.time()
             run_stream()
             times.append(time.time() - t0)
-        return bsz * n_calls / float(np.median(times))
+        n = bsz * n_calls
+        return n / float(np.median(times)), [n / t for t in times]
 
-    clouds_b1 = stream_throughput(1, n_calls=8, reps=5)
+    clouds_b1, b1_all = stream_throughput(1, n_calls=8, reps=7)
     extras["clouds_s_b1"] = round(clouds_b1, 3)
+    # tunnel weather moves round-over-round numbers by several percent;
+    # the spread makes rounds comparable (VERDICT r4 weak #1)
+    extras["clouds_s_b1_spread"] = [round(min(b1_all), 3),
+                                    round(max(b1_all), 3)]
     print(f"pipelined throughput (8-cloud stream, B=1): "
           f"{1000 / clouds_b1:.1f} ms/cloud "
-          f"({clouds_b1:.2f} clouds/s)", file=sys.stderr)
+          f"({clouds_b1:.2f} clouds/s; spread "
+          f"{min(b1_all):.2f}-{max(b1_all):.2f})", file=sys.stderr)
 
     # batched pipelined inference (BASELINE.json config #2: batch 8).
     # Same 8-cloud stream, fed through B-sized programs.  The headline
@@ -245,7 +269,8 @@ def main():
     clouds_per_sec, best_b = clouds_b1, 1
     for bsz in (2, 4, 8):
         try:
-            cps = stream_throughput(bsz, n_calls=max(8 // bsz, 2), reps=3)
+            cps, _ = stream_throughput(bsz, n_calls=max(8 // bsz, 2),
+                                       reps=3)
             extras[f"clouds_s_b{bsz}"] = round(cps, 3)
             print(f"pipelined throughput (B={bsz}): {cps:.2f} clouds/s "
                   f"({1000 / cps:.1f} ms/cloud)", file=sys.stderr)
@@ -267,7 +292,7 @@ def main():
     # --- large-scene tiled inference (BASELINE.json config #5) --------
     # 160x160 m scene, 2M points: sliding the 40x40 m model window with
     # 5 m overlap => 25 tiles, then one global NMS merge.  Runs from the
-    # TRAINED overfit checkpoint (artifacts/overfit_ckpt.pkl, see
+    # TRAINED overfit checkpoint (artifacts/overfit_ckpt.npz, see
     # SCORECARD.md) on a trunk-bearing scene so the merge suppresses real
     # cross-tile duplicates — r3's random-weight run merged 0 boxes.
     # The trained model keeps the rehearsal's score_thr (its own predict
@@ -277,25 +302,24 @@ def main():
         TiledInference)
 
     if os.path.exists(TRAINED_CKPT):
-        with open(TRAINED_CKPT, "rb") as f:
-            trained = pickle.load(f)
+        trained = load_trained_ckpt()
         tmodel = PointPillars(**g._flagship_cfg())
         tmodel.head_cfg["score_thr"] = float(trained.get("score_thr", 0.3))
         tvars = {"params": trained["params"],
                  "batch_stats": trained["batch_stats"]}
-        tpredict = tmodel.make_predict_fn()
         scene = _tree_scene()
     else:
-        print("no trained checkpoint at artifacts/overfit_ckpt.pkl — "
+        print("no trained checkpoint at artifacts/overfit_ckpt.npz — "
               "tiled section falls back to random weights",
               file=sys.stderr)
-        tmodel, tvars, tpredict = model, pvars, predict
+        tmodel, tvars = model, pvars
         scene = _tree_scene()
     n_scene = len(scene)
 
-    tiled = TiledInference(tmodel, tvars, overlap=5.0, batch_tiles=1,
-                           predict_fn=tpredict)
-    tiled(scene)  # warm (predict + merge program compile)
+    # fused whole-scene program: sort + exact-y crop + all 25 tile
+    # predicts in ONE dispatch + one readback (pipeline/tiled_inference.py)
+    tiled = TiledInference(tmodel, tvars, overlap=5.0, batch_tiles=1)
+    tiled(scene)  # warm (whole-scene program compile)
     t0 = time.time()
     dets = tiled(scene)
     dt_tiled = time.time() - t0

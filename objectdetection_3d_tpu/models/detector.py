@@ -285,9 +285,15 @@ class PointPillars(BaseModel):
         if self._use_point_pfn:
             # pallas="auto" routes the post-sort tail through the fused
             # Pallas scan on TPU (ops/voxel_scan.py); "off" keeps the
-            # XLA tail for GSPMD mesh programs
+            # XLA tail for GSPMD mesh programs.  `tpu: pallas_voxel_scan:
+            # false` pins the XLA tail independently (perf A/B knob).
+            vox_pallas = pallas
+            if (pallas == "auto"
+                    and not bool(self.tpu_cfg.get("pallas_voxel_scan",
+                                                  True))):
+                vox_pallas = "off"
             vox = self.voxel_layer.points_batch(
-                batch["points"], batch["num_points"], pallas=pallas)
+                batch["points"], batch["num_points"], pallas=vox_pallas)
             kwargs = dict(points=vox["points"], pt_voxel=vox["pt_voxel"],
                           pt_valid=vox["pt_valid"],
                           max_slots=self.voxel_layer.max_voxel_points)

@@ -5,13 +5,29 @@ counts (config.yaml:36) and density-downsampling (model/utils.py:15-43) —
 scenes larger than the 40x40 m model range are simply cropped
 (model/PointPillars.py:251-255).  The TPU build adds the static-shape
 answer to unbounded scenes (BASELINE config #5): slide the model's fixed
-xy window over the scene with overlap, run the jitted predictor per tile
-(one compiled program, reused for every tile), shift detections back into
-scene frame, and merge with a global greedy NMS.
+xy window over the scene with overlap, run the jitted predictor per tile,
+shift detections back into scene frame, and merge with a global greedy NMS.
+
+Design history (each measured on the v5e tunnel):
+* host crop: O(tiles x N) single-core numpy + ~19 MB upload/tile (~12 s).
+* round-4 device crop: full-scene scatter compaction PER tile (~19 s) and
+  35 m stride buckets wasted ~2/3 of the static point budget on
+  out-of-window rows (detections collapsed 1120 -> 504 on the bench scene).
+* this design: ONE device program for the whole scene.  The scene is
+  shuffled (uniformizes later truncation) and stable-sorted by
+  (fine x-column, y) once; each tile's candidate rows are then one run per
+  x-column with EXACT y bounds (log-time searchsorted for the column base
+  + one masked count for the y offset), sampled by a strided gather that
+  stays spatially uniform when a run exceeds its static budget.  Crop and
+  predict for ALL tiles run inside one ``jax.lax.map`` jit — one dispatch
+  and one readback per scene, because per-call tunnel RPC (~27-150 ms)
+  dominated every multi-dispatch formulation.
 
 This is also the scale-out hook: tiles are independent, so a batch of
 tiles can be data-parallel sharded across chips (spatial sharding is this
-workload's analog of sequence parallelism).
+workload's analog of sequence parallelism) — pass a mesh-sharded
+``predict_fn`` and the non-fused device path feeds it cropped tile
+batches.
 """
 
 import numpy as np
@@ -25,7 +41,8 @@ class TiledInference:
     """Sliding-window detector over scenes larger than the model range."""
 
     def __init__(self, model, variables, overlap=5.0, batch_tiles=1,
-                 max_merge_boxes=2048, predict_fn=None, device_crop=True):
+                 max_merge_boxes=2048, predict_fn=None, device_crop=True,
+                 crop_cols=8, fused=None):
         """
         Args:
             model: PointPillars detector.
@@ -34,15 +51,19 @@ class TiledInference:
                 are seen whole by at least one tile).
             batch_tiles: tiles run per device batch.
             max_merge_boxes: static budget for the global NMS merge.
-            device_crop: crop tiles on-device (upload the scene ONCE,
-                one device bucket-sort, then per tile a few static
-                dynamic-slice reads of only that tile's candidate rows).
-                The host path masks/copies the candidate points per tile
-                in numpy and uploads ~19 MB per tile — measured ~9 s of
-                a 12 s 25-tile/2M-pt scene on a 1-vCPU host.  The
-                round-4 on-device crop instead paid a full-scene scatter
-                compaction PER TILE (~190 ms x 25 on a 2M-row scene);
-                the sorted-run crop touches O(tile) rows per tile.
+            predict_fn: external predict program (e.g. a mesh-sharded one,
+                parallel/data_parallel.py).  Supplying one disables the
+                fused whole-scene program (the external fn cannot be
+                traced into it) — tiles are still cropped on device.
+            device_crop: crop tiles on-device; False = numpy host crop.
+            crop_cols: x-columns per tile width for the sort grid.  The
+                crop is exact in y; finer columns cut the out-of-window
+                x-margin (= wasted point budget) at the cost of more
+                (static) gather runs per tile.
+            fused: run sort + crop + EVERY tile's predict as one jitted
+                ``lax.map`` program (one dispatch + one readback per
+                scene).  Default: on whenever no external ``predict_fn``
+                is supplied.
         """
         self.model = model
         self.variables = variables
@@ -50,15 +71,23 @@ class TiledInference:
         self.batch_tiles = int(batch_tiles)
         self.max_merge_boxes = int(max_merge_boxes)
         self.device_crop = bool(device_crop)
+        self.crop_cols = int(crop_cols)
+        self.fused = (predict_fn is None) if fused is None else bool(fused)
         self._predict = predict_fn or model.make_predict_fn()
         self._merge = jax.jit(self._merge_fn)
         self._pack = jax.jit(lambda ps: {
             k: jnp.stack([p[k] for p in ps])
             for k in ("bbox", "score", "label", "valid")})
+        self._jit_cache = {}
 
         pcr = model.point_cloud_range
         self.tile_x = pcr[3] - pcr[0]
         self.tile_y = pcr[4] - pcr[1]
+        self.xcell = self.tile_x / self.crop_cols
+        # a tile window can straddle crop_cols + 1 x-columns
+        self.n_runs = self.crop_cols + 1
+        max_pts = int(model.tpu_cfg["max_points_static"])
+        self.rb = max(max_pts // self.n_runs // 8 * 8, 8)
 
     def _tile_origins(self, lo, hi, tile, overlap):
         stride = max(tile - overlap, tile * 0.5)
@@ -81,6 +110,7 @@ class TiledInference:
             valid_mask=valid)
         return jnp.any(keep, axis=1)
 
+    # ---- host crop path ----------------------------------------------
     def _bucket_sort(self, points, lo):
         """Pre-sort the scene into tile-stride buckets, once.
 
@@ -128,70 +158,81 @@ class TiledInference:
             local = local[idx]
         return local
 
-    # ---- on-device tile cropping ------------------------------------
-    # The host crop path costs seconds of single-core numpy plus a
-    # ~19 MB tunnel upload per tile; the round-4 on-device crop fixed
-    # the uploads but paid a full-scene scatter compaction PER TILE
-    # (~25x a 2M-row scatter, the dominant cost of the 7 s scene).
-    # This path instead sorts the scene by tile-stride bucket ONCE on
-    # device; each tile is then R static dynamic-slice reads of ONLY its
-    # own candidate rows.  No mask, no rank, no scatter: candidate rows
-    # outside the tile window land outside the model's point_cloud_range
-    # after the shift and self-filter in the voxelizer's range check
-    # (ops/voxelize.py `in_range` — the same check that drops the
-    # reference's out-of-range points, model/PointPillars.py:251-255).
-
+    # ---- on-device tile cropping --------------------------------------
     @staticmethod
-    def _sort_scene(scene, lo, sxy, *, nbx, nby):
-        """Shuffle + stable-sort the scene rows by stride-bucket id.
+    def _sort_scene_cols(scene, lo0, xcell):
+        """Shuffle, then stable-sort the scene rows by (x-column, y).
 
-        The up-front uniform shuffle makes any later truncation at the
-        static run budget a UNIFORM random subset of a tile's points
-        (the host path's ``rng.choice`` semantics).  Padding rows
-        (xyz ~1e9) sort into a trailing sentinel bucket.
+        The up-front uniform shuffle makes any later truncation inside an
+        exact-y run a uniform random subset ONLY within identical sort
+        keys; spatial uniformity under truncation comes from the strided
+        sampling in :meth:`_crop_cols`.  Padding rows (coords ~1e9) get a
+        huge column id and sort to the tail.  Two composed stable argsorts
+        realize the lexicographic (col, y) order without building a wide
+        composite key (no int64 on TPU by default; f32 lacks the mantissa).
         """
         perm = jax.random.permutation(jax.random.PRNGKey(0),
                                       scene.shape[0])
         scene = scene[perm]
-        xyz = scene[:, :3]
-        in_scene = jnp.all(xyz < 1e8, axis=1)
-        bx = jnp.clip(jnp.floor((xyz[:, 0] - lo[0]) / sxy[0]),
-                      0, nbx - 1).astype(jnp.int32)
-        by = jnp.clip(jnp.floor((xyz[:, 1] - lo[1]) / sxy[1]),
-                      0, nby - 1).astype(jnp.int32)
-        bid = jnp.where(in_scene, bx * nby + by, nbx * nby)
-        order = jnp.argsort(bid, stable=True)
-        sorted_bid = bid[order]
-        starts = jnp.searchsorted(sorted_bid,
-                                  jnp.arange(nbx * nby + 1))
-        return scene[order], starts
+        in_scene = jnp.all(scene[:, :3] < 1e8, axis=1)
+        xcol = jnp.floor((scene[:, 0] - lo0) / xcell).astype(jnp.int32)
+        xcol = jnp.where(in_scene, xcol, jnp.int32(2 ** 30))
+        o1 = jnp.argsort(scene[:, 1], stable=True)
+        o2 = jnp.argsort(xcol[o1], stable=True)
+        order = o1[o2]
+        s = scene[order]
+        return s, xcol[order], s[:, 1]
 
-    @staticmethod
-    def _crop_runs(sorted_scene, run_starts, run_lens, shift, *, n_runs,
-                   rb, p_budget):
-        """Assemble one tile's (p_budget, C) point buffer from its
-        bucket runs — ``n_runs`` static dynamic-slices of ``rb`` rows.
+    def _crop_cols(self, sorted_scene, cols, ys, shift, lo0):
+        """Assemble one tile's (max_pts, C) local-frame point buffer.
 
-        Rows sliced beyond a run's true length are masked to sentinel
-        coords (they can belong to the NEXT x-column's buckets, whose
-        in-window rows are already delivered by that column's own run —
-        keeping them would duplicate points).  Unused run slots point at
-        the trailing sentinel-pad region with length 0.
+        The tile's candidates are ``n_runs`` contiguous runs of the
+        (col, y)-sorted scene — one per x-column the window straddles,
+        with EXACT y bounds: run start = searchsorted(col) + masked count
+        of (col == c, y < y0) rows; run length likewise at y0 + tile_y.
+        Each run is read by ONE strided gather of ``rb`` rows: stride 1
+        when the run fits (exact crop), stride len/rb when it does not —
+        a systematic spatial subsample of the y-sorted run, matching the
+        host path's uniform ``rng.choice`` semantics without bias toward
+        low y.  Out-of-window x margins (at most one column width per
+        side) self-filter in the voxelizer's range check after the shift
+        (ops/voxelize.py ``in_range`` — the same check that drops the
+        reference's out-of-range points, model/PointPillars.py:251-255).
         """
-        c = sorted_scene.shape[1]
-        row = jnp.arange(rb)[:, None]
-        cand = jnp.concatenate(
-            [jnp.where(
-                row < run_lens[i],
-                jax.lax.dynamic_slice(sorted_scene, (run_starts[i], 0),
-                                      (rb, c)),
-                jnp.float32(1e9))
-             for i in range(n_runs)], axis=0)
-        local = jnp.concatenate([cand[:, :3] - shift, cand[:, 3:]],
-                                axis=1)
-        pad = jnp.full((p_budget - n_runs * rb, c), 1e9,
-                       sorted_scene.dtype)
-        return jnp.concatenate([local, pad], axis=0)
+        n_runs, rb = self.n_runs, self.rb
+        max_pts = int(self.model.tpu_cfg["max_points_static"])
+        x0, y0 = shift[0], shift[1]
+        y1 = y0 + jnp.float32(self.tile_y)
+
+        cx0 = jnp.floor((x0 - lo0) / self.xcell).astype(jnp.int32)
+        run_cols = cx0 + jnp.arange(n_runs, dtype=jnp.int32)
+        col_base = jnp.searchsorted(cols, run_cols, side="left")
+        incol = cols[None, :] == run_cols[:, None]          # (R, N)
+        lo_off = jnp.sum(incol & (ys[None, :] < y0), axis=1)
+        hi_off = jnp.sum(incol & (ys[None, :] < y1), axis=1)
+        starts = col_base + lo_off
+        lens = hi_off - lo_off
+
+        i = jnp.arange(rb, dtype=jnp.float32)
+
+        def take_run(start, ln):
+            stride = jnp.maximum(ln, rb).astype(jnp.float32) / rb
+            off = jnp.floor(i * stride).astype(jnp.int32)
+            valid = off < ln
+            off = jnp.minimum(off, jnp.maximum(ln - 1, 0))
+            vals = sorted_scene[start + off]                # (rb, C)
+            local = jnp.concatenate([vals[:, :3] - shift, vals[:, 3:]],
+                                    axis=1)
+            return jnp.where(valid[:, None], local, jnp.float32(1e9))
+
+        parts = jax.vmap(take_run)(starts, lens)
+        flat = parts.reshape(n_runs * rb, sorted_scene.shape[1])
+        pad = max_pts - n_runs * rb
+        if pad > 0:
+            flat = jnp.concatenate(
+                [flat, jnp.full((pad, sorted_scene.shape[1]), 1e9,
+                                flat.dtype)], axis=0)
+        return flat
 
     def _upload_scene(self, points):
         """Pad the scene to a 256k-row bucket (bounds jit recompiles)
@@ -202,6 +243,39 @@ class TiledInference:
         up[:n] = points
         up[n:, :3] = 1e9  # outside every window
         return jax.device_put(up)
+
+    # ---- fused whole-scene program -------------------------------------
+    def _fused_program(self, scene_rows, scene_cols, n_chunks):
+        """One jit for the whole scene: sort + per-tile crop + predict,
+        tiles iterated by ``lax.map`` in ``batch_tiles`` chunks.  Per-call
+        tunnel RPC (~27-150 ms each, measured) made every multi-dispatch
+        formulation host-bound; this program costs ONE dispatch and one
+        packed readback regardless of tile count."""
+        key = (scene_rows, scene_cols, n_chunks, self.batch_tiles)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        model = self.model
+        bt = self.batch_tiles
+        max_pts = int(model.tpu_cfg["max_points_static"])
+
+        def program(scene, shifts, lo0, variables, anchors):
+            ss, cols, ys = self._sort_scene_cols(scene, lo0, self.xcell)
+
+            def chunk_fn(shift_chunk):                     # (bt, 3)
+                pts = jax.vmap(
+                    lambda sh: self._crop_cols(ss, cols, ys, sh, lo0)
+                )(shift_chunk)
+                batch = {"points": pts,
+                         "num_points": jnp.full((bt,), max_pts,
+                                                 jnp.int32)}
+                return model.predict(variables, batch, anchors)
+
+            return jax.lax.map(chunk_fn,
+                               shifts.reshape(n_chunks, bt, 3))
+
+        fn = jax.jit(program)
+        self._jit_cache[key] = fn
+        return fn
 
     def __call__(self, points):
         """Detect over a full scene.
@@ -226,81 +300,52 @@ class TiledInference:
         tiles = [(x0, y0) for x0 in xs for y0 in ys]
         all_boxes, all_scores, all_labels = [], [], []
 
-        if self.device_crop:
-            sx = max(self.tile_x - self.overlap, self.tile_x * 0.5)
-            sy = max(self.tile_y - self.overlap, self.tile_y * 0.5)
-            nbx = max(int(np.floor((hi[0] - lo[0]) / sx)) + 1, 1)
-            nby = max(int(np.floor((hi[1] - lo[1]) / sy)) + 1, 1)
+        shifts_np = np.asarray([[x0, y0, lo[2]] for (x0, y0) in tiles],
+                               np.float32)
+        n_tiles = len(tiles)
+        bt = self.batch_tiles
+        n_chunks = -(-n_tiles // bt)
+        pad_tiles = n_chunks * bt - n_tiles
+        if pad_tiles:
+            shifts_np = np.concatenate(
+                [shifts_np, np.repeat(shifts_np[-1:], pad_tiles, 0)])
+
+        if self.device_crop and self.fused:
             scene_dev = self._upload_scene(points)
-            if not hasattr(self, "_sort_jit"):
-                self._sort_jit = jax.jit(
-                    self._sort_scene, static_argnames=("nbx", "nby"))
-                self._crop_jit = jax.jit(
-                    self._crop_runs,
-                    static_argnames=("n_runs", "rb", "p_budget"))
-            sorted_dev, starts_dev = self._sort_jit(
-                scene_dev, jnp.asarray(lo, jnp.float32),
-                jnp.asarray([sx, sy], jnp.float32), nbx=nbx, nby=nby)
-            starts = np.asarray(jax.device_get(starts_dev))
-            n_sorted = int(sorted_dev.shape[0])
+            prog = self._fused_program(scene_dev.shape[0],
+                                       scene_dev.shape[1], n_chunks)
+            preds = prog(scene_dev, jnp.asarray(shifts_np),
+                         jnp.float32(lo[0]), self.variables,
+                         self.model.anchors)
+            packed = jax.device_get(preds)          # (n_chunks, bt, ...)
+            for t in range(n_tiles):
+                ci, j = divmod(t, bt)
+                v = packed["valid"][ci][j]
+                b = packed["bbox"][ci][j][v].copy()
+                b[:, 0] += tiles[t][0]
+                b[:, 1] += tiles[t][1]
+                b[:, 2] += lo[2]
+                all_boxes.append(b)
+                all_scores.append(packed["score"][ci][j][v])
+                all_labels.append(packed["label"][ci][j][v])
+            return self._merge_host(all_boxes, all_scores, all_labels)
 
-            # per-tile bucket runs (start, length) from the host copy of
-            # the bucket boundaries: a tile's candidate rows are the
-            # contiguous (cx, by0..by1) ranges of the sorted scene
-            tile_runs, max_run, max_nruns = [], 1, 1
-            for (x0, y0) in tiles:
-                bx0 = max(int(np.floor((x0 - lo[0]) / sx)), 0)
-                bx1 = min(int(np.floor((x0 + self.tile_x - lo[0]) / sx)),
-                          nbx - 1)
-                by0 = max(int(np.floor((y0 - lo[1]) / sy)), 0)
-                by1 = min(int(np.floor((y0 + self.tile_y - lo[1]) / sy)),
-                          nby - 1)
-                runs = []
-                for cx in range(bx0, bx1 + 1):
-                    s = int(starts[cx * nby + by0])
-                    e = int(starts[cx * nby + by1 + 1])
-                    runs.append((s, e - s))
-                tile_runs.append(runs)
-                max_run = max(max_run, max(ln for _, ln in runs))
-                max_nruns = max(max_nruns, len(runs))
-
-            # static run budget: cover the longest run, quantized so
-            # small scene-to-scene count changes reuse the compiled
-            # crop; clamped so n_runs * rb fits the model's point
-            # budget (over-budget runs truncate to a uniform random
-            # subset via the up-front shuffle)
-            quantum = 8192 if max_run > 4096 else 64
-            rb = -(-max_run // quantum) * quantum
-            rb = min(rb, max(max_pts // max_nruns // 8 * 8, 8))
-            n_tile_pts = int(min(max_nruns * rb, max_pts))
-
-            # trailing sentinel block: unused run slots point here, and
-            # slices of short final runs stay in bounds without clamping
-            # (a clamped dynamic_slice start would re-read foreign rows)
-            sorted_dev = jnp.concatenate(
-                [sorted_dev,
-                 jnp.full((rb, points.shape[1]), 1e9, jnp.float32)],
-                axis=0)
-            run_starts_np = np.full((len(tiles), max_nruns), n_sorted,
-                                    np.int32)
-            run_lens_np = np.zeros((len(tiles), max_nruns), np.int32)
-            for t, runs in enumerate(tile_runs):
-                for r, (s, ln) in enumerate(runs):
-                    run_starts_np[t, r] = s
-                    run_lens_np[t, r] = ln
-            # ONE upload for all tiles' parameters: per-tile host arrays
-            # would each be a synchronous tunnel transfer
-            run_starts_dev = jax.device_put(run_starts_np)
-            run_lens_dev = jax.device_put(run_lens_np)
-            shifts_dev = jax.device_put(np.asarray(
-                [[x0, y0, lo[2]] for (x0, y0) in tiles], np.float32))
-            shift_of = {t: i for i, t in enumerate(tiles)}
-            num_dev = jnp.full((self.batch_tiles,), n_tile_pts, jnp.int32)
+        if self.device_crop:
+            # non-fused device crop: an EXTERNAL predict program (e.g.
+            # mesh-sharded) consumes device-cropped tile batches
+            scene_dev = self._upload_scene(points)
+            if "sort" not in self._jit_cache:
+                self._jit_cache["sort"] = jax.jit(
+                    self._sort_scene_cols, static_argnames=())
+                self._jit_cache["crop"] = jax.jit(self._crop_cols)
+            ss, cols, ys_d = self._jit_cache["sort"](
+                scene_dev, jnp.float32(lo[0]), jnp.float32(self.xcell))
+            shifts_dev = jax.device_put(shifts_np)
+            num_dev = jnp.full((bt,), max_pts, jnp.int32)
             zeros = {
-                "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
-                                    jnp.float32),
-                "labels": jnp.zeros((self.batch_tiles, max_gt), jnp.int32),
-                "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
+                "bboxes": jnp.zeros((bt, max_gt, 9), jnp.float32),
+                "labels": jnp.zeros((bt, max_gt), jnp.int32),
+                "gt_mask": jnp.zeros((bt, max_gt), bool),
             }
         else:
             sorted_pts, starts, grid = self._bucket_sort(points, lo)
@@ -311,25 +356,22 @@ class TiledInference:
         # stacked fetch at the drain (per-array readbacks cost ~60 ms
         # of tunnel RPC each — 4 arrays x 25 tiles was ~6 s, measured).
         pending = []
-        for i in range(0, len(tiles), self.batch_tiles):
-            chunk = tiles[i:i + self.batch_tiles]
-            pad = self.batch_tiles - len(chunk)
-            chunk = chunk + [chunk[-1]] * pad
+        for ci in range(n_chunks):
+            chunk = [tiles[min(ci * bt + j, n_tiles - 1)]
+                     for j in range(bt)]
+            pad = max((ci + 1) * bt - n_tiles, 0)
 
             if self.device_crop:
-                parts = [self._crop_jit(
-                    sorted_dev, run_starts_dev[shift_of[(x0, y0)]],
-                    run_lens_dev[shift_of[(x0, y0)]],
-                    shifts_dev[shift_of[(x0, y0)]],
-                    n_runs=max_nruns, rb=rb, p_budget=max_pts)
-                    for (x0, y0) in chunk]
+                parts = [self._jit_cache["crop"](
+                    ss, cols, ys_d, shifts_dev[ci * bt + j],
+                    jnp.float32(lo[0])) for j in range(bt)]
                 batch = dict(zeros)
                 batch["points"] = jnp.stack(parts)
                 batch["num_points"] = num_dev
             else:
-                batch_pts = np.zeros((self.batch_tiles, max_pts,
-                                      points.shape[1]), np.float32)
-                batch_n = np.zeros((self.batch_tiles,), np.int32)
+                batch_pts = np.zeros((bt, max_pts, points.shape[1]),
+                                     np.float32)
+                batch_n = np.zeros((bt,), np.int32)
                 for j, (x0, y0) in enumerate(chunk):
                     local = self._crop_tile(sorted_pts, starts, grid, lo,
                                             pcr, x0, y0, max_pts)
@@ -338,11 +380,9 @@ class TiledInference:
                 batch = {
                     "points": jnp.asarray(batch_pts),
                     "num_points": jnp.asarray(batch_n),
-                    "bboxes": jnp.zeros((self.batch_tiles, max_gt, 9),
-                                        jnp.float32),
-                    "labels": jnp.zeros((self.batch_tiles, max_gt),
-                                        jnp.int32),
-                    "gt_mask": jnp.zeros((self.batch_tiles, max_gt), bool),
+                    "bboxes": jnp.zeros((bt, max_gt, 9), jnp.float32),
+                    "labels": jnp.zeros((bt, max_gt), jnp.int32),
+                    "gt_mask": jnp.zeros((bt, max_gt), bool),
                 }
             preds = self._predict(self.variables, batch)
             pending.append((chunk, pad, preds))
@@ -362,7 +402,9 @@ class TiledInference:
                 all_boxes.append(b)
                 all_scores.append(score[j][v])
                 all_labels.append(label[j][v])
+        return self._merge_host(all_boxes, all_scores, all_labels)
 
+    def _merge_host(self, all_boxes, all_scores, all_labels):
         if not all_boxes or sum(len(b) for b in all_boxes) == 0:
             return []
         boxes = np.concatenate(all_boxes)

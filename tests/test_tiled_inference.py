@@ -232,3 +232,35 @@ def test_tiled_inference_shards_tiles_across_mesh(trained):
         assert a["label"] == b["label"]
         np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_fused_scene_program_matches_host_path(trained):
+    """The fused whole-scene program (sort + exact-y crop + every tile's
+    predict under one lax.map jit — the flagship single-chip path) must
+    reproduce the host-crop reference detections on the same scene."""
+    model, variables, batch = trained
+    predict = model.make_predict_fn()
+    base = predict(variables, batch)
+    if not bool(np.asarray(base["valid"]).any()):
+        pytest.skip("tiny model did not converge to emitting detections")
+
+    pts = np.asarray(batch["points"][0][: int(batch["num_points"][0])])
+    shifted = pts.copy()
+    shifted[:, 0] += 8.0
+    scene = np.concatenate([pts, shifted]) + [30.0, 10.0, 5.0, 0.0]
+
+    host = TiledInference(model, variables, overlap=2.0,
+                          predict_fn=predict, max_merge_boxes=64,
+                          device_crop=False)(scene)
+    fused_ti = TiledInference(model, variables, overlap=2.0,
+                              max_merge_boxes=64)
+    assert fused_ti.fused  # no external predict_fn -> fused program
+    fused = fused_ti(scene)
+
+    assert len(fused) == len(host) > 0
+    key = lambda d: (d["label"], round(float(d["bbox"][0]), 2),  # noqa: E731
+                     round(float(d["bbox"][1]), 2))
+    for a, b in zip(sorted(host, key=key), sorted(fused, key=key)):
+        assert a["label"] == b["label"]
+        np.testing.assert_allclose(a["bbox"], b["bbox"], rtol=1e-3,
+                                   atol=1e-3)

@@ -16,11 +16,14 @@ Usage: JAX_PLATFORMS=cpu python tools/bytes_floor.py
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # shape analysis only — never
+os.environ["JAX_PLATFORM_NAME"] = "cpu"  # touch the TPU tunnel
 
 import numpy as np  # noqa: E402
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp  # noqa: E402,F401
 
 sys.path.insert(0, ".")
 

@@ -7,7 +7,6 @@ trained-checkpoint workload to attribute the scene wall time.
 """
 
 import os
-import pickle
 import sys
 import time
 
@@ -21,15 +20,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 sys.path.insert(0, ".")
 
 import __graft_entry__ as g  # noqa: E402
-from bench import _tree_scene, TRAINED_CKPT  # noqa: E402
+from bench import _tree_scene, load_trained_ckpt  # noqa: E402
 from objectdetection_3d_tpu.models import PointPillars  # noqa: E402
 from objectdetection_3d_tpu.pipeline.tiled_inference import (  # noqa: E402
     TiledInference)
 
 
 def main():
-    with open(TRAINED_CKPT, "rb") as f:
-        trained = pickle.load(f)
+    trained = load_trained_ckpt()
     model = PointPillars(**g._flagship_cfg())
     model.head_cfg["score_thr"] = float(trained.get("score_thr", 0.3))
     tvars = {"params": trained["params"],
@@ -38,18 +36,17 @@ def main():
     scene = _tree_scene()
     print(f"scene: {scene.shape}", flush=True)
 
-    tiled = TiledInference(model, tvars, overlap=5.0, batch_tiles=1,
-                           predict_fn=predict)
-
-    # ---- device-crop path (the default): cold then warm ----
+    # ---- fused whole-scene program (the default): cold then warm ----
+    tiled = TiledInference(model, tvars, overlap=5.0, batch_tiles=1)
+    assert tiled.fused
     t0 = time.time()
     dets = tiled(scene)
-    print(f"device-crop cold (incl compile): {time.time() - t0:.2f} s, "
+    print(f"fused cold (incl compile): {time.time() - t0:.2f} s, "
           f"{len(dets)} dets", flush=True)
-    for rep in range(2):
+    for rep in range(3):
         t0 = time.time()
         dets = tiled(scene)
-        print(f"device-crop warm: {time.time() - t0:.2f} s, "
+        print(f"fused warm: {time.time() - t0:.2f} s, "
               f"{len(dets)} dets", flush=True)
 
     # ---- host-crop path for comparison ----
