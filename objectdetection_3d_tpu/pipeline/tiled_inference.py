@@ -87,7 +87,11 @@ class TiledInference:
         # a tile window can straddle crop_cols + 1 x-columns
         self.n_runs = self.crop_cols + 1
         max_pts = int(model.tpu_cfg["max_points_static"])
-        self.rb = max(max_pts // self.n_runs // 8 * 8, 8)
+        # candidate stage runs at 2x the model's point budget: per-column
+        # caps then truncate only pathological clusters, and the second
+        # stage compacts in-window rows first (uniformly at random) down
+        # to the budget — matching the host crop's rng.choice semantics
+        self.rb = max(2 * max_pts // self.n_runs // 8 * 8, 8)
 
     def _tile_origins(self, lo, hi, tile, overlap):
         stride = max(tile - overlap, tile * 0.5)
@@ -190,14 +194,17 @@ class TiledInference:
         (col, y)-sorted scene — one per x-column the window straddles,
         with EXACT y bounds: run start = searchsorted(col) + masked count
         of (col == c, y < y0) rows; run length likewise at y0 + tile_y.
-        Each run is read by ONE strided gather of ``rb`` rows: stride 1
-        when the run fits (exact crop), stride len/rb when it does not —
-        a systematic spatial subsample of the y-sorted run, matching the
-        host path's uniform ``rng.choice`` semantics without bias toward
-        low y.  Out-of-window x margins (at most one column width per
-        side) self-filter in the voxelizer's range check after the shift
-        (ops/voxelize.py ``in_range`` — the same check that drops the
-        reference's out-of-range points, model/PointPillars.py:251-255).
+        Each run is read by ONE strided gather of ``rb`` rows (2x the
+        point budget across runs): stride 1 when the run fits (exact
+        candidates), stride len/rb when it does not — a systematic
+        spatial subsample of the y-sorted run, not a low-y bias.  A
+        second stage then compacts the candidates to the model's point
+        budget, IN-WINDOW rows first in uniform random order (the host
+        path's ``rng.choice`` semantics), out-of-window x-margin rows as
+        harmless filler (they self-filter in the voxelizer's range check
+        after the shift — ops/voxelize.py ``in_range``, the same check
+        that drops the reference's out-of-range points,
+        model/PointPillars.py:251-255).
         """
         n_runs, rb = self.n_runs, self.rb
         max_pts = int(self.model.tpu_cfg["max_points_static"])
@@ -223,16 +230,30 @@ class TiledInference:
             vals = sorted_scene[start + off]                # (rb, C)
             local = jnp.concatenate([vals[:, :3] - shift, vals[:, 3:]],
                                     axis=1)
-            return jnp.where(valid[:, None], local, jnp.float32(1e9))
+            return jnp.where(valid[:, None], local, jnp.float32(1e9)), \
+                valid
 
-        parts = jax.vmap(take_run)(starts, lens)
+        parts, valid = jax.vmap(take_run)(starts, lens)
         flat = parts.reshape(n_runs * rb, sorted_scene.shape[1])
-        pad = max_pts - n_runs * rb
-        if pad > 0:
+        valid = valid.reshape(n_runs * rb)
+        if n_runs * rb < max_pts:   # degenerate tiny budgets
+            short = max_pts - n_runs * rb
             flat = jnp.concatenate(
-                [flat, jnp.full((pad, sorted_scene.shape[1]), 1e9,
+                [flat, jnp.full((short, flat.shape[1]), 1e9,
                                 flat.dtype)], axis=0)
-        return flat
+            valid = jnp.concatenate([valid, jnp.zeros((short,), bool)])
+
+        # stage 2: budget compaction — in-window rows first, uniformly
+        # shuffled (so an over-budget tile keeps a uniform random subset
+        # of its true points), margin rows as filler, sentinels last
+        in_win = valid & (flat[:, 0] >= 0) & (flat[:, 0]
+                                              < jnp.float32(self.tile_x))
+        u = jax.random.uniform(jax.random.PRNGKey(1), (flat.shape[0],))
+        key = (u + jnp.where(in_win, 0.0, 2.0)
+               + jnp.where(valid, 0.0, 4.0))
+        sel = jnp.argsort(key)[:max_pts]
+        out = flat[sel]
+        return jnp.where(valid[sel, None], out, jnp.float32(1e9))
 
     def _upload_scene(self, points):
         """Pad the scene to a 256k-row bucket (bounds jit recompiles)
