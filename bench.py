@@ -289,6 +289,58 @@ def main():
                   f"{str(e)[:300]}", file=sys.stderr)
     extras["headline_batch"] = best_b
 
+    # --- map-batched serving program -----------------------------------
+    # Request batching via lax.map instead of batched tensor dims: the
+    # per-cloud program stays B=1 (batched convs measured WORSE per
+    # cloud: B=4 at 211 ms vs B=1 components ~175 ms — bytes-bound, and
+    # the B=8 tensors kill the compiler), while one dispatch covers 8
+    # clouds, so the ~27 ms/call tunnel RPC amortizes to ~3 ms/cloud.
+    # Same wall-clock rules as the streams: host inputs, uploads counted.
+    def pred_one(args):
+        pts, num = args
+        return model.predict(pvars, {"points": pts[None],
+                                     "num_points": num[None]},
+                             anchors_arg)
+
+    anchors_arg = model.anchors
+    map8 = jax.jit(lambda stack, nums: jax.lax.map(pred_one,
+                                                   (stack, nums)))
+
+    def map_stream(reps, n_calls=2):
+        batches = [g._synth_batch(8, model.tpu_cfg["max_points_static"],
+                                  model.tpu_cfg["max_gt_static"],
+                                  model.point_cloud_range, seed=s,
+                                  n_points=100_000)
+                   for s in range(n_calls)]
+        mdrain = jax.jit(lambda outs: sum(o["score"].sum() for o in outs))
+
+        def run():
+            outs = [map8(bt["points"], bt["num_points"])
+                    for bt in batches]
+            return float(mdrain(outs))
+
+        run()
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        return 8.0 * n_calls / float(np.median(times))
+
+    try:
+        cps = map_stream(reps=5)
+        extras["clouds_s_map8"] = round(cps, 3)
+        print(f"map-batched serving (lax.map x8, one dispatch): "
+              f"{cps:.2f} clouds/s ({1000 / cps:.1f} ms/cloud)",
+              file=sys.stderr)
+        if cps > clouds_per_sec:
+            clouds_per_sec, best_b = cps, "map8"
+            extras["headline_batch"] = best_b
+    except Exception as e:  # noqa: BLE001
+        extras["clouds_s_map8"] = f"failed: {type(e).__name__}"
+        print(f"map8 FAILED: {type(e).__name__}: {str(e)[:300]}",
+              file=sys.stderr)
+
     # --- large-scene tiled inference (BASELINE.json config #5) --------
     # 160x160 m scene, 2M points: sliding the 40x40 m model window with
     # 5 m overlap => 25 tiles, then one global NMS merge.  Runs from the
