@@ -199,18 +199,62 @@ def main():
           f"{dt_train:.3f} s/step", file=sys.stderr)
 
     # batch-8 train step (BASELINE.json config #3 names batch 8).  The
-    # full-grid activations are HBM-heavy at B=8; an OOM here is itself
-    # the measured wall and gets reported instead of a number.
+    # monolithic B=8 program exhausts HBM — the dense (8,100,400,400,C)
+    # grid stages RESOURCE_EXHAUST in isolation (tools/bisect_b8.py:
+    # scatter + encoder fail, vox/rpn/head/decode pass) — so batch 8
+    # runs as gradient accumulation: lax.scan over microbatches inside
+    # ONE jit, one AdamW update, pooled avg_factor semantics exact
+    # (detector.train_step_accum_fn; tests/test_train_accum.py).
+    def timed_train_steps_accum(bsz, microbatch, k_tr, reps):
+        state = jtu.tree_map(lambda x: x.copy(),
+                             {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"]})
+        state["opt_state"] = tx.init(state["params"])
+        step = model.make_train_step(tx, donate=True,
+                                     microbatch=microbatch)
+        bt = g._synth_batch(bsz, model.tpu_cfg["max_points_static"],
+                            model.tpu_cfg["max_gt_static"],
+                            model.point_cloud_range, n_points=100_000)
+        state, losses = step(state, bt)
+        sync(losses)
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            for _ in range(k_tr):
+                state, losses = step(state, bt)
+            sync(losses)
+            times.append((time.time() - t0) / k_tr)
+        del state, losses, step
+        return float(np.median(times))
+
     try:
         dt_train8 = timed_train_steps(8, k_tr=2, reps=3)
         extras["train_step_b8_s"] = round(dt_train8, 3)
-        extras["train_step_b8_s_per_cloud"] = round(dt_train8 / 8, 3)
-        print(f"train step (batch 8): {dt_train8:.3f} s/step "
-              f"({dt_train8 / 8:.3f} s/cloud)", file=sys.stderr)
+        extras["train_step_b8_formulation"] = "monolithic"
     except Exception as e:  # noqa: BLE001 — RESOURCE_EXHAUSTED etc.
-        extras["train_step_b8_s"] = f"failed: {type(e).__name__}"
-        print(f"train step (batch 8) FAILED: {type(e).__name__}: "
-              f"{str(e)[:300]}", file=sys.stderr)
+        extras["train_step_b8_monolithic"] = f"failed: {type(e).__name__}"
+        print(f"train step (batch 8 monolithic) FAILED as expected: "
+              f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        dt_train8 = None
+        for mb in (2, 1):
+            try:
+                dt_train8 = timed_train_steps_accum(8, mb, k_tr=2, reps=3)
+                extras["train_step_b8_s"] = round(dt_train8, 3)
+                extras["train_step_b8_formulation"] = (
+                    f"grad-accum microbatch={mb} (lax.scan in one jit)")
+                break
+            except Exception as e2:  # noqa: BLE001
+                print(f"train step (batch 8, microbatch {mb}) FAILED: "
+                      f"{type(e2).__name__}: {str(e2)[:200]}",
+                      file=sys.stderr)
+        if dt_train8 is None:
+            extras["train_step_b8_s"] = "failed"
+    if dt_train8 is not None:
+        extras["train_step_b8_s_per_cloud"] = round(dt_train8 / 8, 3)
+        print(f"train step (batch 8, "
+              f"{extras['train_step_b8_formulation']}): "
+              f"{dt_train8:.3f} s/step ({dt_train8 / 8:.3f} s/cloud)",
+              file=sys.stderr)
     del tx
 
     # --- end-to-end inference -----------------------------------------
@@ -271,20 +315,24 @@ def main():
         try:
             cps, _ = stream_throughput(bsz, n_calls=max(8 // bsz, 2),
                                        reps=3)
-            extras[f"clouds_s_b{bsz}"] = round(cps, 3)
+            key = "clouds_s_b8_monolithic" if bsz == 8 else \
+                f"clouds_s_b{bsz}"
+            extras[key] = round(cps, 3)
             print(f"pipelined throughput (B={bsz}): {cps:.2f} clouds/s "
                   f"({1000 / cps:.1f} ms/cloud)", file=sys.stderr)
             if cps > clouds_per_sec:
                 clouds_per_sec, best_b = cps, bsz
         except Exception as e:  # noqa: BLE001
-            # B=8 reproducibly crashes the platform's remote-compile
-            # helper (HTTP 500) with or without any Pallas kernel
-            # (tools/check_b8_compile.py bisect); a trivial program at
-            # the same 2.56e9-element grid shape compiles, so it is an
-            # op-specific compiler limit, not tensor size per se.  B=4
-            # compiles and batching gains nothing anyway (bytes-bound:
-            # B=2/4 measure slightly WORSE per cloud than B=1).
-            extras[f"clouds_s_b{bsz}"] = f"failed: {type(e).__name__}"
+            # the monolithic B=8 program exhausts HBM: the dense
+            # (8,100,400,400,C) grid scatter + encoder stages
+            # RESOURCE_EXHAUST in isolation while vox/rpn/head/decode
+            # pass (tools/bisect_b8.py) — a capacity wall, not an op
+            # bug.  Batch 8 is served by the lax.map program below
+            # (clouds_s_b8), which keeps per-cloud memory while one
+            # dispatch covers the batch.
+            key = "clouds_s_b8_monolithic" if bsz == 8 else \
+                f"clouds_s_b{bsz}"
+            extras[key] = f"failed: {type(e).__name__}"
             print(f"B={bsz} inference FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}", file=sys.stderr)
     extras["headline_batch"] = best_b
@@ -330,6 +378,15 @@ def main():
     try:
         cps = map_stream(reps=5)
         extras["clouds_s_map8"] = round(cps, 3)
+        # this IS the batch-8 serving number (BASELINE config #2): one
+        # jitted program taking 8 clouds in and returning 8 result sets,
+        # formulated as lax.map over the per-cloud program because the
+        # monolithic batch-8 tensors exceed HBM (see bisect note above)
+        if not isinstance(extras.get("clouds_s_b8_monolithic"),
+                          (int, float)):
+            extras["clouds_s_b8"] = round(cps, 3)
+            extras["clouds_s_b8_formulation"] = (
+                "lax.map over 8 per-cloud programs in one jit")
         print(f"map-batched serving (lax.map x8, one dispatch): "
               f"{cps:.2f} clouds/s ({1000 / cps:.1f} ms/cloud)",
               file=sys.stderr)

@@ -103,6 +103,13 @@ DEFAULT_TPU_CFG = {
     "sparse_budget": 0,
     # rematerialize each encoder stage in the backward pass
     "remat": True,
+    # gradient-accumulation chunk size for training (0 -> monolithic
+    # step).  Batches whose dense-grid activations exceed HBM (e.g.
+    # batch 8 on a v5e-1: the (8,100,400,400,C) grid RESOURCE_EXHAUSTs,
+    # tools/bisect_b8.py) train as lax.scan over batch/microbatch
+    # chunks inside one jit with exact pooled avg_factor semantics
+    # (models/detector.py train_step_accum_fn).
+    "microbatch": 0,
 }
 
 

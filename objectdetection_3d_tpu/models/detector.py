@@ -316,7 +316,7 @@ class PointPillars(BaseModel):
     # loss
     # ------------------------------------------------------------------
     def loss(self, results, inputs, anchors=None, anchor_aabb=None,
-             pallas="auto", assign_shard=None):
+             pallas="auto", assign_shard=None, with_num_pos=False):
         """Training losses (reference model/PointPillars.py:147-226).
 
         Args:
@@ -334,8 +334,13 @@ class PointPillars(BaseModel):
                 assignment (~250 ms/step single-chip) instead of the
                 blanket ``pallas="off"`` XLA fallback.  Assignment is
                 per-item independent: no collectives are needed inside.
+            with_num_pos: also return the raw positive-anchor count (the
+                un-clamped ``avg_factor`` numerator) — gradient
+                accumulation needs it to recover the pooled-batch
+                normalization exactly (see :meth:`train_step_accum_fn`).
         Returns:
-            dict of scalar losses.
+            dict of scalar losses, or ``(losses, num_pos)`` when
+            ``with_num_pos``.
         """
         cls, reg, dirs = results
         b = cls.shape[0]
@@ -449,13 +454,16 @@ class PointPillars(BaseModel):
         loss_dir = {ax: jnp.sum(dir_ce[..., i::3]) / avg
                     for i, ax in enumerate("xyz")}
 
-        return {
+        losses = {
             "loss_cls": loss_cls,
             "loss_bbox": loss_bbox,
             "loss_dir_x": loss_dir["x"],
             "loss_dir_y": loss_dir["y"],
             "loss_dir_z": loss_dir["z"],
         }
+        if with_num_pos:
+            return losses, num_pos
+        return losses
 
     # ------------------------------------------------------------------
     # train step
@@ -535,12 +543,108 @@ class PointPillars(BaseModel):
 
         return step
 
-    def make_train_step(self, tx, donate=True):
+    def train_step_accum_fn(self, tx, microbatch, pallas="auto"):
+        """Gradient-accumulation training step: one optimizer update for a
+        batch that is too big to materialize at once.
+
+        The monolithic step at batch 8 exhausts this chip's HBM — the
+        dense (8, 100, 400, 400, C) grid alone is >5 GB and the
+        scatter/encoder stages RESOURCE_EXHAUST (tools/bisect_b8.py), so
+        BASELINE config #3's stated batch size (reference
+        pipeline/pipeline.py:458-466 iterates any batch) is served by
+        ``lax.scan`` over microbatches inside ONE jit: peak activation
+        memory stays at microbatch scale while the update sees the full
+        batch.
+
+        Pooled-loss exactness: the reference normalizes every loss by the
+        batch-wide positive count (model/PointPillars.py:213-218).  Each
+        microbatch's loss is ``S_i / max(n_i, 1)``; multiplying its grads
+        by ``max(n_i, 1)`` recovers ``grad(S_i)`` (the factor is
+        parameter-independent), and dividing the accumulated sum by
+        ``max(sum_i n_i, 1)`` reproduces the pooled-batch normalization
+        exactly — not the mean-of-means approximation (the two diverge
+        hard when one microbatch has no positives).  The one remaining
+        deviation from the monolithic step is BatchNorm: train-mode batch
+        statistics are computed per microbatch (as they would be when
+        training at the smaller batch size) and running stats update
+        sequentially, so the forward — and therefore the gradient — is
+        that of microbatch-sized BN, not batch-sized BN.  That is the
+        standard grad-accumulation semantics.
+        """
+        device_augment = self.device_augment
+
+        def step(state, batch, anchors, anchor_aabb):
+            b = batch["points"].shape[0]
+            if b % microbatch:
+                raise ValueError(
+                    f"batch {b} not divisible by microbatch {microbatch}")
+            n_micro = b // microbatch
+            stacked = jax.tree_util.tree_map(
+                lambda x: x.reshape((n_micro, microbatch) + x.shape[1:]),
+                batch)
+
+            def one_micro(carry, mb):
+                bs, rng = carry
+                if device_augment:
+                    from objectdetection_3d_tpu.augment.device_ops import (
+                        augment_batch)
+                    rng, sub = jax.random.split(rng)
+                    mb = augment_batch(mb, sub, device_augment)
+
+                def loss_closure(params):
+                    variables = {"params": params, "batch_stats": bs}
+                    outs, new_bs = self.apply(variables, mb, train=True,
+                                              pallas=pallas)
+                    losses, n_pos = self.loss(outs, mb, anchors,
+                                              anchor_aabb, pallas=pallas,
+                                              with_num_pos=True)
+                    total = sum(losses.values())
+                    return total, (losses, n_pos, new_bs)
+
+                grads, (losses, n_pos, new_bs) = jax.grad(
+                    loss_closure, has_aux=True)(state["params"])
+                avg_i = jnp.maximum(n_pos, 1.0)
+                scaled = jax.tree_util.tree_map(
+                    lambda g_: g_ * avg_i.astype(g_.dtype), grads)
+                sums = jax.tree_util.tree_map(lambda l_: l_ * avg_i,
+                                              losses)
+                return (new_bs, rng), (scaled, sums, n_pos)
+
+            rng0 = state.get("rng", jax.random.PRNGKey(0))
+            (new_bs, rng_out), (g_all, l_all, n_all) = jax.lax.scan(
+                one_micro, (state["batch_stats"], rng0), stacked)
+            total_pos = jnp.maximum(jnp.sum(n_all), 1.0)
+            grads = jax.tree_util.tree_map(
+                lambda g_: jnp.sum(g_, axis=0)
+                / total_pos.astype(g_.dtype), g_all)
+            losses = jax.tree_util.tree_map(
+                lambda l_: jnp.sum(l_, axis=0) / total_pos, l_all)
+            updates, new_opt = tx.update(grads, state["opt_state"],
+                                         state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            new_state = {"params": new_params, "batch_stats": new_bs,
+                         "opt_state": new_opt}
+            if device_augment:
+                new_state["rng"] = rng_out
+            return new_state, losses
+
+        return step
+
+    def make_train_step(self, tx, donate=True, microbatch=None):
         """Build the jitted training step.
 
         state = {'params', 'batch_stats', 'opt_state'[, 'rng']}.
+
+        Args:
+            microbatch: when set, run the gradient-accumulation step
+                (``lax.scan`` over ``batch/microbatch`` chunks inside one
+                jit — the HBM-fitting formulation of large batches; see
+                :meth:`train_step_accum_fn`).
         """
-        step = self.train_step_fn(tx)
+        if microbatch is None:
+            step = self.train_step_fn(tx)
+        else:
+            step = self.train_step_accum_fn(tx, int(microbatch))
         jitted = jax.jit(step, donate_argnums=(0,) if donate else ())
 
         def run(state, batch):

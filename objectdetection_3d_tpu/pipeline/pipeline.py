@@ -572,8 +572,16 @@ class ObjectDetection(BasePipeline):
                      self._global_batch(
                          self.cfg.get("training_batch_size", 1)))
         else:
-            self._train_step = self.model.make_train_step(self.optimizer,
-                                                          donate=False)
+            # tpu: microbatch > 0 trains big batches as gradient
+            # accumulation (lax.scan over chunks in one jit) — the
+            # HBM-fitting formulation of the reference's batch loop
+            # (reference pipeline/pipeline.py:458-466); 0 = monolithic.
+            mb = int(self.model.tpu_cfg.get("microbatch", 0) or 0)
+            self._train_step = self.model.make_train_step(
+                self.optimizer, donate=False,
+                microbatch=mb if mb > 0 else None)
+            if mb > 0:
+                log.info("Gradient accumulation: microbatch=%d", mb)
         start_ep, _ = self.load_ckpt()
 
         record_path = join(self.cfg.log_dir, "training_record.csv")

@@ -331,3 +331,30 @@ def test_show_inference_writes_png(trained_run):
         pngs = glob.glob(os.path.join(pipeline.cfg.log_dir,
                                       "show_inference_*.png"))
         assert pngs, "matplotlib fallback should write a PNG"
+
+
+def test_training_with_microbatch(workspace, tmp_path, caplog):
+    """`tpu: microbatch` routes run_training through the gradient-
+    accumulation step (lax.scan over chunks in one jit, detector.py
+    train_step_accum_fn) — the HBM-fitting formulation of the
+    reference's batch loop (reference pipeline/pipeline.py:458-466)
+    for batches whose monolithic program exceeds device memory."""
+    import logging
+
+    cfg = make_cfg(workspace)
+    cfg.global_args["output_path"] = str(tmp_path / "accum_out") + "/"
+    cfg.tpu["microbatch"] = 1  # batch 2 -> 2 accumulation chunks
+    global_cfg = cfg.dump()
+    cfg_dataset, cfg_pipeline, cfg_model = Config.initialize_params(cfg)
+    dataset = Forest3D(**cfg_dataset)
+    model = PointPillars(**cfg_model)
+    pipeline = ObjectDetection(model, dataset, global_cfg, **cfg_pipeline)
+    with caplog.at_level(logging.INFO,
+                         logger="objectdetection_3d_tpu.pipeline.pipeline"):
+        record = pipeline.run_training()
+
+    assert any("Gradient accumulation: microbatch=1" in r.message
+               for r in caplog.records), "accum step was not selected"
+    assert len(record) >= 1
+    ckpts = os.listdir(os.path.join(pipeline.cfg.log_dir, "checkpoint"))
+    assert any(c.startswith("ckpt_") for c in ckpts)
