@@ -543,7 +543,8 @@ class PointPillars(BaseModel):
 
         return step
 
-    def train_step_accum_fn(self, tx, microbatch, pallas="auto"):
+    def train_step_accum_fn(self, tx, microbatch, pallas="auto",
+                            out_constraint=None, assign_shard=None):
         """Gradient-accumulation training step: one optimizer update for a
         batch that is too big to materialize at once.
 
@@ -570,6 +571,13 @@ class PointPillars(BaseModel):
         sequentially, so the forward — and therefore the gradient — is
         that of microbatch-sized BN, not batch-sized BN.  That is the
         standard grad-accumulation semantics.
+
+        ``out_constraint`` / ``assign_shard`` mirror
+        :meth:`train_step_fn` — parallel/data_parallel.py passes them so
+        the accumulation step also runs sharded over a mesh (each scanned
+        microbatch is itself batch-sharded over the data axis; the loss
+        reductions stay global sums, so mesh accum == single-device
+        accum).
         """
         device_augment = self.device_augment
 
@@ -595,8 +603,11 @@ class PointPillars(BaseModel):
                     variables = {"params": params, "batch_stats": bs}
                     outs, new_bs = self.apply(variables, mb, train=True,
                                               pallas=pallas)
+                    if out_constraint is not None:
+                        outs = out_constraint(outs)
                     losses, n_pos = self.loss(outs, mb, anchors,
                                               anchor_aabb, pallas=pallas,
+                                              assign_shard=assign_shard,
                                               with_num_pos=True)
                     total = sum(losses.values())
                     return total, (losses, n_pos, new_bs)

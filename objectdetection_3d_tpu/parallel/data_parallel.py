@@ -80,7 +80,8 @@ def _space_constraint(mesh, data_axis, space_axis):
 
 
 def make_sharded_train_step(model, tx, mesh, axis_name="data",
-                            space_axis=None, donate=True):
+                            space_axis=None, donate=True,
+                            microbatch=None):
     """Mesh-parallel train step: state replicated, batch sharded over
     ``axis_name``; with ``space_axis`` set (2-D mesh) the pseudo-image's H
     dimension is additionally sharded over it.
@@ -92,6 +93,13 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
     batch_size must divide evenly.  Loss reductions (masked sums /
     avg_factor) are global sums the partitioner turns into psums, so
     sharded training matches single-device large-batch training.
+
+    ``microbatch`` (global chunk size, must be divisible by the data-axis
+    size) runs the gradient-accumulation step instead — ``lax.scan`` over
+    ``batch/microbatch`` chunks, each chunk itself batch-sharded over the
+    mesh, with exact pooled avg_factor normalization
+    (detector.train_step_accum_fn): the formulation for global batches
+    whose monolithic activations exceed per-chip HBM.
     """
     repl = replicate(mesh)
     bsh = shard_batch(mesh, axis_name)
@@ -111,9 +119,19 @@ def make_sharded_train_step(model, tx, mesh, axis_name="data",
     # by its fused Pallas geometry) — gets its Pallas path back through
     # a shard_map island over the data axis: each device runs the
     # kernels on its LOCAL batch items, so Mosaic never meets GSPMD.
-    step = model.train_step_fn(tx, out_constraint=constraint,
-                               pallas="off",
-                               assign_shard=(mesh, axis_name))
+    if microbatch is None:
+        step = model.train_step_fn(tx, out_constraint=constraint,
+                                   pallas="off",
+                                   assign_shard=(mesh, axis_name))
+    else:
+        if int(microbatch) % mesh.shape[axis_name]:
+            raise ValueError(
+                f"microbatch {microbatch} not divisible by the "
+                f"{axis_name!r} axis size {mesh.shape[axis_name]}")
+        step = model.train_step_accum_fn(tx, int(microbatch),
+                                         pallas="off",
+                                         out_constraint=constraint,
+                                         assign_shard=(mesh, axis_name))
     jitted = jax.jit(
         step,
         in_shardings=(repl, bsh, repl, repl),

@@ -561,10 +561,13 @@ class ObjectDetection(BasePipeline):
         if mesh is not None:
             from objectdetection_3d_tpu.parallel import (
                 make_sharded_train_step)
+            mb = int(self.model.tpu_cfg.get("microbatch", 0) or 0)
             self._train_step = make_sharded_train_step(
                 self.model, self.optimizer, mesh,
                 space_axis="space" if self.spatial_parallel > 1 else None,
-                donate=False)
+                donate=False, microbatch=mb if mb > 0 else None)
+            if mb > 0:
+                log.info("Gradient accumulation: microbatch=%d", mb)
             log.info("Training %d-way data-parallel%s (global batch %d)",
                      self.data_parallel,
                      (f" x {self.spatial_parallel}-way spatial"

@@ -260,3 +260,42 @@ def test_island_eval_matches_single_device(setup):
                                np.asarray(preds1["score"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(preds8["bbox"]),
                                np.asarray(preds1["bbox"]), atol=1e-3)
+
+
+def test_sharded_accum_matches_single_device_accum(setup):
+    """Mesh gradient accumulation (microbatch= on the sharded step) must
+    equal the single-device accumulation step: each scanned chunk is
+    batch-sharded over the mesh, loss reductions stay global sums, and
+    the pooled avg_factor renormalization is identical arithmetic."""
+    model, variables, tx = setup
+    batch = to_device(tiny_batch(batch_size=16, seed=11))
+
+    def fresh_state():
+        return {"params": variables["params"],
+                "batch_stats": variables["batch_stats"],
+                "opt_state": tx.init(variables["params"])}
+
+    single = model.make_train_step(tx, donate=False, microbatch=8)
+    s1, l1 = single(fresh_state(), batch)
+
+    mesh = make_mesh(8)
+    sharded = make_sharded_train_step(model, tx, mesh, donate=False,
+                                      microbatch=8)
+    s8, l8 = sharded(fresh_state(), batch)
+
+    for k in l1:
+        np.testing.assert_allclose(float(l1[k]), float(l8[k]),
+                                   rtol=2e-4, atol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(s1["params"])
+    flat8 = jax.tree_util.tree_leaves(s8["params"])
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_accum_indivisible_microbatch_raises(setup):
+    model, variables, tx = setup
+    mesh = make_mesh(8)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_train_step(model, tx, mesh, donate=False,
+                                microbatch=3)
