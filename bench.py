@@ -236,7 +236,10 @@ def main():
         print(f"train step (batch 8 monolithic) FAILED as expected: "
               f"{type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
         dt_train8 = None
-        for mb in (2, 1):
+        # microbatch=1 is the probed-working config (7.58 s/step,
+        # tools/probe_b8_accum.py); mb=2 would cost an unprobed
+        # multi-minute remote compile here for at best a marginal win
+        for mb in (1,):
             try:
                 dt_train8 = timed_train_steps_accum(8, mb, k_tr=2, reps=3)
                 extras["train_step_b8_s"] = round(dt_train8, 3)
